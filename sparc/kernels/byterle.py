@@ -1,0 +1,89 @@
+"""Byte-level run-length encoding.
+
+Wire format matches the reference's ``RunLengthByteWriter/Reader``
+(``org/apache/orc/impl/RunLengthByteWriter.java:63-101`` /
+``RunLengthByteReader.java:47-82``):
+
+- control byte c in [0, 127]: a run of (c + 3) copies of the next byte
+  (runs of 3..130);
+- control byte c in [128, 255]: (256 - c) literal bytes follow (1..128).
+
+Used for the DECIMAL scale stream, union tags, and as the second stage of
+the boolean bitfield (PRESENT) encoder.  Encoder is numpy run-detection +
+a per-segment Python loop (segment count, not value count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MIN_REPEAT = 3
+MAX_REPEAT = 130
+MAX_LITERAL = 128
+
+
+def encode(values: np.ndarray) -> bytes:
+    values = np.ascontiguousarray(values, dtype=np.uint8)
+    n = values.size
+    if n == 0:
+        return b""
+    # maximal equal-value runs
+    change = np.flatnonzero(np.diff(values)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    lengths = ends - starts
+    is_run = lengths >= MIN_REPEAT
+
+    out = bytearray()
+    i = 0
+    nruns = starts.size
+    vbytes = values.tobytes()
+    while i < nruns:
+        if is_run[i]:
+            s, length, val = int(starts[i]), int(lengths[i]), int(values[starts[i]])
+            while length >= MIN_REPEAT:
+                chunk = min(length, MAX_REPEAT)
+                out.append(chunk - MIN_REPEAT)
+                out.append(val)
+                length -= chunk
+            if length:  # 1-2 leftover values become literals w/ next segment
+                _emit_literals(out, vbytes[s + lengths[i] - length : s + lengths[i]])
+            i += 1
+        else:
+            # coalesce consecutive non-run segments into one literal span
+            j = i
+            while j < nruns and not is_run[j]:
+                j += 1
+            _emit_literals(out, vbytes[int(starts[i]) : int(ends[j - 1])])
+            i = j
+    return bytes(out)
+
+
+def _emit_literals(out: bytearray, chunk: bytes) -> None:
+    pos = 0
+    while pos < len(chunk):
+        size = min(len(chunk) - pos, MAX_LITERAL)
+        out.append(256 - size)
+        out.extend(chunk[pos : pos + size])
+        pos += size
+
+
+def decode(data: bytes | memoryview, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint8)
+    pos = 0
+    filled = 0
+    data = memoryview(data)
+    while filled < n:
+        c = data[pos]
+        pos += 1
+        if c < 128:
+            run = c + MIN_REPEAT
+            out[filled : filled + run] = data[pos]
+            pos += 1
+            filled += run
+        else:
+            lit = 256 - c
+            out[filled : filled + lit] = np.frombuffer(data[pos : pos + lit], np.uint8)
+            pos += lit
+            filled += lit
+    return out
