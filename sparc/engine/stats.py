@@ -1,0 +1,122 @@
+"""Column statistics — the reference's "aggregation layer".
+
+Mirrors ``org/apache/orc/impl/ColumnStatisticsImpl.java`` semantics
+(per-type min/max/sum/count + hasNull; string stats carry min/max values and
+the sum of lengths, truncated for storage) computed batch-wise with numpy.
+Maintained per row group (10k rows) and per stripe; these drive codec
+auto-selection (SURVEY.md §4) and pruning over the metrics table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+ROW_INDEX_STRIDE = 10_000  # orc.row.index.stride default
+STRING_STAT_TRUNCATE = 1024  # proto truncation length in the reference
+
+
+@dataclass
+class ColumnStats:
+    kind: str  # 'int' | 'float' | 'string' | 'binary' | 'timestamp' | 'bool'
+    n_values: int = 0
+    n_nulls: int = 0
+    minimum: Any = None
+    maximum: Any = None
+    total: Any = None  # sum for numeric, sum of lengths for string/binary
+    n_distinct: int | None = None  # filled for string columns when computed
+
+    @property
+    def has_null(self) -> bool:
+        return self.n_nulls > 0
+
+    def to_dict(self) -> dict:
+        mn, mx = self.minimum, self.maximum
+        if self.kind in ("string", "binary"):
+            mn = _truncate(mn)
+            mx = _truncate(mx)
+        return {
+            "kind": self.kind,
+            "n_values": self.n_values,
+            "n_nulls": self.n_nulls,
+            "min": mn,
+            "max": mx,
+            "sum": self.total,
+            "n_distinct": self.n_distinct,
+        }
+
+
+def _truncate(v):
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v[:STRING_STAT_TRUNCATE].decode("utf-8", "replace")
+    return str(v)[:STRING_STAT_TRUNCATE]
+
+
+def int_stats(values: np.ndarray, n_nulls: int, kind: str = "int") -> ColumnStats:
+    s = ColumnStats(kind=kind, n_values=int(values.size), n_nulls=int(n_nulls))
+    if values.size:
+        s.minimum = int(values.min())
+        s.maximum = int(values.max())
+        # overflow-checked sum like IntegerStatisticsImpl: fast int64 path
+        # when bounds prove it safe, exact object-sum otherwise
+        bound = max(abs(s.minimum), abs(s.maximum))
+        if bound * values.size < (1 << 62):
+            s.total = int(values.sum(dtype=np.int64))
+        else:
+            s.total = int(sum(int(x) for x in values.tolist()))
+    return s
+
+
+def float_stats(values: np.ndarray, n_nulls: int) -> ColumnStats:
+    s = ColumnStats(kind="float", n_values=int(values.size), n_nulls=int(n_nulls))
+    if values.size:
+        s.minimum = float(values.min())
+        s.maximum = float(values.max())
+        s.total = float(values.sum())
+    return s
+
+
+def string_stats(
+    lengths: np.ndarray,
+    n_nulls: int,
+    minimum: bytes | None,
+    maximum: bytes | None,
+    n_distinct: int | None = None,
+    kind: str = "string",
+) -> ColumnStats:
+    s = ColumnStats(kind=kind, n_values=int(lengths.size), n_nulls=int(n_nulls))
+    if lengths.size:
+        s.minimum = minimum
+        s.maximum = maximum
+        s.total = int(lengths.sum())
+        s.n_distinct = n_distinct
+    return s
+
+
+def bool_stats(values: np.ndarray, n_nulls: int) -> ColumnStats:
+    s = ColumnStats(kind="bool", n_values=int(values.size), n_nulls=int(n_nulls))
+    if values.size:
+        true_count = int(values.sum())
+        s.minimum = bool(true_count > 0) and bool(true_count == values.size)
+        s.maximum = bool(true_count > 0)
+        s.total = true_count  # trueCount, like BooleanStatisticsImpl
+    return s
+
+
+def merge(a: ColumnStats, b: ColumnStats) -> ColumnStats:
+    """Stripe-level merge of row-group stats (StripeStatisticsImpl analog)."""
+    out = ColumnStats(kind=a.kind)
+    out.n_values = a.n_values + b.n_values
+    out.n_nulls = a.n_nulls + b.n_nulls
+    for s in (a, b):
+        if s.minimum is not None:
+            out.minimum = s.minimum if out.minimum is None else min(out.minimum, s.minimum)
+        if s.maximum is not None:
+            out.maximum = s.maximum if out.maximum is None else max(out.maximum, s.maximum)
+        if s.total is not None:
+            out.total = s.total if out.total is None else out.total + s.total
+    return out

@@ -1,0 +1,83 @@
+"""Block compression layer: chunked general-purpose codec over encoded streams.
+
+Mirrors the reference's OutStream/InStream chunking contract
+(``org/apache/orc/impl/OutStream.java:376-413`` — ≤256 KiB chunks,
+store-uncompressed-if-bigger; inverse ``InStream$CompressedStream.readHeader``
+``InStream.java:493-523``), with one documented deviation: the reference's
+3-byte header encodes only ``compressedLength<<1 | isOriginal`` because its
+decompressors accept unknown output sizes; pyarrow's codec API requires the
+exact decompressed size, so our 8-byte header adds the raw length
+(two little-endian uint32: ``clen<<1|orig``, ``rawlen``).  8 bytes per
+256 KiB chunk is 0.003% overhead.
+
+Codecs are pyarrow's C++ implementations (zstd default, matching the
+reference's ``orc.compress=ZSTD`` 2.2.2 default).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+
+CHUNK_SIZE = 262144  # orc.compress.size default
+_HEADER = struct.Struct("<II")
+
+# name -> (pyarrow codec name, default level)
+CODECS = {
+    "zstd": ("zstd", 3),
+    "zlib": ("gzip", 6),
+    "lz4": ("lz4_raw", None),
+    "snappy": ("snappy", None),
+    "brotli": ("brotli", None),
+}
+
+_codec_cache: dict[tuple[str, int | None], pa.Codec] = {}
+
+
+def _codec(name: str, level: int | None) -> pa.Codec:
+    key = (name, level)
+    if key not in _codec_cache:
+        pa_name, default_level = CODECS[name]
+        lvl = level if level is not None else default_level
+        _codec_cache[key] = (
+            pa.Codec(pa_name, compression_level=lvl) if lvl is not None else pa.Codec(pa_name)
+        )
+    return _codec_cache[key]
+
+
+def compress(data: bytes, codec: str = "zstd", level: int | None = None) -> bytes:
+    """Chunked compress with store-if-bigger per chunk; 'none' passes through."""
+    if codec == "none":
+        return data
+    c = _codec(codec, level)
+    out = bytearray()
+    for pos in range(0, len(data), CHUNK_SIZE):
+        chunk = data[pos : pos + CHUNK_SIZE]
+        comp = bytes(c.compress(chunk))
+        if len(comp) < len(chunk):
+            out += _HEADER.pack((len(comp) << 1) | 0, len(chunk))
+            out += comp
+        else:  # store original (isOriginal flag), like the reference
+            out += _HEADER.pack((len(chunk) << 1) | 1, len(chunk))
+            out += chunk
+    return bytes(out)
+
+
+def decompress(data: bytes, codec: str = "zstd", level: int | None = None) -> bytes:
+    if codec == "none":
+        return data
+    c = _codec(codec, level)
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        word, rawlen = _HEADER.unpack_from(data, pos)
+        pos += _HEADER.size
+        clen = word >> 1
+        if word & 1:  # stored original
+            out += data[pos : pos + clen]
+        else:
+            out += bytes(c.decompress(data[pos : pos + clen], rawlen))
+        pos += clen
+    return bytes(out)

@@ -1,0 +1,249 @@
+"""FSST-style symbol-table string compression (from the public paper:
+Boncz, Neumann, Leis — "FSST: Fast Random Access String Compression",
+VLDB 2020; see PAPERS.md "Adaptive Compression for Fast Scans on String
+Columns").  NOT present in the reference (orc-core 2.2.2 has no FSST) —
+required by the north rule for url/text columns; tested by self round-trip
+plus size-win checks, since no reference oracle exists.
+
+Scheme: up to 255 symbols of 1..8 bytes; output codes 0..254 index the
+table, code 255 escapes one literal byte.  Training is a deterministic
+iterative merge (singles → pairs → longer), scored by frequency × length.
+
+Encode: vectorized longest-match precompute (numpy windows + searchsorted
+per symbol length), then a scalar greedy walk (O(#output codes), the one
+Python-speed loop — flagged as the round-2 optimization target).
+Decode: fully vectorized ragged gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+TRAIN_ITERS = 4
+SAMPLE_TARGET = 1 << 16
+
+_P256 = (np.uint64(256) ** np.arange(7, -1, -1).astype(np.uint64)).astype(np.uint64)
+
+
+class SymbolTable:
+    """Immutable trained symbol table."""
+
+    __slots__ = ("symbols", "sym_buf", "sym_off", "sym_len", "_match")
+
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        self.sym_len = np.zeros(256, dtype=np.int64)
+        offsets = np.zeros(256, dtype=np.int64)
+        buf = bytearray()
+        for i, s in enumerate(symbols):
+            offsets[i] = len(buf)
+            self.sym_len[i] = len(s)
+            buf += s
+        self.sym_len[ESCAPE] = 1
+        self.sym_off = offsets
+        self.sym_buf = np.frombuffer(bytes(buf), dtype=np.uint8)
+        # per-length sorted key tables for vectorized longest-match
+        self._match = {}
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for code, s in enumerate(symbols):
+            key = int.from_bytes(s.ljust(8, b"\0"), "big") >> (8 * (8 - len(s)))
+            by_len.setdefault(len(s), []).append((key, code))
+        for length, pairs in by_len.items():
+            pairs.sort()
+            keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+            codes = np.array([c for _, c in pairs], dtype=np.uint8)
+            self._match[length] = (keys, codes)
+
+    # -- serialization ------------------------------------------------------
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        for s in self.symbols:
+            out.append(len(s))
+            out += s
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes, pos: int = 0) -> tuple["SymbolTable", int]:
+        n = data[pos]
+        pos += 1
+        symbols = []
+        for _ in range(n):
+            ln = data[pos]
+            pos += 1
+            symbols.append(bytes(data[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """uint64 big-endian 8-byte window starting at each position.
+
+    Shift-accumulate (8 vector ops) instead of a (n,8) window matrix —
+    avoids a ~64x temporary blow-up on large stripes.
+    """
+    n = data.size
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    key = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        key |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
+    return key
+
+
+def _find_matches(table: SymbolTable, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position longest symbol match: (match_len, match_code); len 0 = none."""
+    n = data.size
+    match_len = np.zeros(n, dtype=np.int64)
+    match_code = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return match_len, match_code
+    key8 = _window_keys(data)
+    for length in sorted(table._match, reverse=True):
+        keys, codes = table._match[length]
+        k = key8 >> np.uint64(8 * (8 - length))
+        idx = np.searchsorted(keys, k)
+        idx[idx == keys.size] = 0
+        hit = (keys[idx] == k) & (match_len == 0)
+        if length > 1:  # window must not run past the end
+            hit[n - length + 1 :] = False
+        match_len[hit] = length
+        match_code[hit] = codes[idx[hit]]
+    return match_len, match_code
+
+
+def compress(data: bytes, table: SymbolTable) -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    mlen, mcode = _find_matches(table, arr)
+    lens = mlen.tolist()
+    codes = mcode.tolist()
+    raw = data  # bytes for O(1) scalar access
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    append = out.append
+    while i < n:
+        ln = lens[i]
+        if ln:
+            append(codes[i])
+            i += ln
+        else:
+            append(ESCAPE)
+            append(raw[i])
+            i += 1
+    return bytes(out)
+
+
+def decompress(enc: bytes, table: SymbolTable) -> bytes:
+    if not enc:
+        return b""
+    data = np.frombuffer(enc, dtype=np.uint8)
+    # resolve escapes: a 255 at a code position escapes the next byte
+    is_literal = np.zeros(data.size + 1, dtype=bool)
+    for p in np.flatnonzero(data == ESCAPE).tolist():
+        if not is_literal[p]:
+            is_literal[p + 1] = True
+    is_literal = is_literal[:-1]
+    codes = data[~is_literal]
+    out_lens = table.sym_len[codes]
+    total = int(out_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    out_starts = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
+    esc = codes == ESCAPE
+    # escape codes emit their literal byte
+    if esc.any():
+        code_pos = np.flatnonzero(~is_literal)
+        out[out_starts[esc]] = data[code_pos[esc] + 1]
+    # symbol codes: ragged gather from the symbol buffer
+    sym = ~esc
+    if sym.any():
+        s_lens = out_lens[sym]
+        s_out = out_starts[sym]
+        s_src = table.sym_off[codes[sym]]
+        reps = np.repeat(np.arange(s_lens.size), s_lens)
+        intra = np.arange(int(s_lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(s_lens)))[:-1], s_lens
+        )
+        out[s_out[reps] + intra] = table.sym_buf[s_src[reps] + intra]
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def train(sample: bytes) -> SymbolTable:
+    """Deterministic iterative trainer over a byte sample."""
+    if len(sample) > SAMPLE_TARGET:
+        # evenly spaced 1 KiB slices, deterministic
+        step = len(sample) // (SAMPLE_TARGET // 1024)
+        parts = [sample[i : i + 1024] for i in range(0, len(sample), max(step, 1024))]
+        sample = b"".join(parts)[:SAMPLE_TARGET]
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    if arr.size == 0:
+        return SymbolTable([])
+
+    # iteration 0: most frequent single bytes
+    counts = np.bincount(arr, minlength=256)
+    present = np.flatnonzero(counts)
+    order = sorted(present.tolist(), key=lambda b: (-int(counts[b]), b))
+    symbols = [bytes([b]) for b in order[:MAX_SYMBOLS]]
+    table = SymbolTable(symbols)
+
+    for _ in range(TRAIN_ITERS):
+        gains = _count_gains(table, arr)
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        symbols = [s for s, _ in ranked[:MAX_SYMBOLS]]
+        table = SymbolTable(symbols)
+    return table
+
+
+def _count_gains(table: SymbolTable, arr: np.ndarray) -> dict[bytes, int]:
+    """Parse sample with current table; score symbols and merged pairs."""
+    mlen, mcode = _find_matches(table, arr)
+    lens = mlen.tolist()
+    codes = mcode.tolist()
+    n = arr.size
+    raw = arr.tobytes()
+    gains: dict[bytes, int] = {}
+    i = 0
+    prev_sym: bytes | None = None
+    while i < n:
+        ln = lens[i]
+        if ln:
+            s = table.symbols[codes[i]]
+        else:
+            s = raw[i : i + 1]
+            ln = 1
+        gains[s] = gains.get(s, 0) + ln
+        if prev_sym is not None and len(prev_sym) + ln <= MAX_SYMBOL_LEN:
+            merged = prev_sym + s
+            gains[merged] = gains.get(merged, 0) + len(merged)
+        prev_sym = s
+        i += ln
+    # always keep single bytes competitive (escapes cost 2x)
+    counts = np.bincount(arr, minlength=256)
+    for b in np.flatnonzero(counts).tolist():
+        s = bytes([b])
+        gains[s] = gains.get(s, 0) + int(counts[b])
+    return gains
+
+
+# ---------------------------------------------------------------------------
+# convenience: one-shot stream format  [table][u32 raw_len][codes]
+# ---------------------------------------------------------------------------
+
+
+def compress_with_table(data: bytes, table: SymbolTable | None = None) -> bytes:
+    if table is None:
+        table = train(data)
+    body = compress(data, table)
+    return table.serialize() + body
+
+
+def decompress_with_table(enc: bytes) -> bytes:
+    table, pos = SymbolTable.deserialize(enc)
+    return decompress(enc[pos:], table)
