@@ -1,0 +1,176 @@
+"""The distributed encode job: scan → stripe partition → mapInArrow → sink.
+
+Lifecycle (SURVEY.md §3.4):
+
+    parquet/Iceberg scan (column-pruned by Catalyst)
+      → stripe assignment (partition.py — explicit, deterministic, salted)
+      → repartition(n, stripe_col)                 [the only shuffle]
+      → mapInArrow(encode): per stripe — optional locality sort, stats,
+        codec auto-selection, kernel encode → stream rows + footer row
+      → append to the streams table (parquet dir; one atomic task commit
+        per partition, so a stripe's streams+footer land together)
+
+Resume: a stripe is complete iff its FOOTER row exists.  Re-running the
+job anti-joins planned stripes against completed footers and encodes only
+the remainder — per-partition lineage lives in the footer (input
+fingerprint, row count, per-stream sizes + crc32 checksums).
+
+Output schema (the "streams table"):
+    stripe_id:long, column:string, kind:string, data:binary
+FOOTER rows use column='', kind='FOOTER', data=UTF-8 JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine import stripe as stripe_mod
+from . import partition as part_mod
+
+STREAMS_SCHEMA = "stripe_id long, column string, kind string, data binary"
+
+_PA_OUT = pa.schema(
+    [
+        ("stripe_id", pa.int64()),
+        ("column", pa.string()),
+        ("kind", pa.string()),
+        ("data", pa.large_binary()),
+    ]
+)
+
+
+def _encode_partition_factory(
+    codec: str, sort_within: list[str] | None, fingerprint: str
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """Build the mapInArrow function (no per-row Python anywhere inside)."""
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        collected = list(batches)
+        if not collected:
+            return
+        table = pa.Table.from_batches(collected)
+        del collected
+        stripe_ids = table[part_mod.STRIPE_COL]
+        for sid in pa.compute.unique(stripe_ids).to_pylist():
+            sub = table.filter(pa.compute.equal(stripe_ids, sid))
+            sub = sub.drop_columns([part_mod.STRIPE_COL])
+            if sort_within:
+                sub = sub.sort_by([(c, "ascending") for c in sort_within])
+            streams, footer = stripe_mod.encode_stripe(sub, codec=codec)
+            # per-stream crc32 into the footer (integrity for resume/decode)
+            crcs = {f"{c}/{k}": zlib.crc32(v) for (c, k), v in streams.items()}
+            footer["crc32"] = crcs
+            footer["stripe_id"] = sid
+            footer["input_fingerprint"] = fingerprint
+            footer["sorted_by"] = sort_within or []
+            cols, kinds, blobs = [], [], []
+            for (cname, kind), data in streams.items():
+                cols.append(cname)
+                kinds.append(kind)
+                blobs.append(data)
+            cols.append("")
+            kinds.append("FOOTER")
+            blobs.append(json.dumps(footer).encode())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([sid] * len(cols), pa.int64()),
+                    pa.array(cols, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(blobs, pa.large_binary()),
+                ],
+                schema=_PA_OUT,
+            )
+
+    return encode_partition
+
+
+def completed_stripes(spark: SparkSession, out_dir: str) -> list[int]:
+    """Stripe ids whose FOOTER row is committed (= resumable checkpoint)."""
+    try:
+        df = spark.read.parquet(out_dir)
+    except Exception:
+        return []
+    return [
+        r[0]
+        for r in df.filter(F.col("kind") == "FOOTER").select("stripe_id").distinct().collect()
+    ]
+
+
+def run_encode(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key: str = "url",
+    strategy: str = "hash",
+    n_stripes: int | None = None,
+    lang_col: str = "lang",
+    target_rows_per_stripe: int = 100_000,
+    codec: str = "zstd",
+    sort_within: list[str] | None = None,
+    resume: bool = True,
+    fingerprint: str = "",
+    n_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the encode job.  Returns a summary dict."""
+    spark = df.sparkSession
+
+    if strategy == "lang_salted":
+        staged, total = part_mod.with_lang_salted_stripes(
+            df, key=key, lang_col=lang_col, target_rows_per_stripe=target_rows_per_stripe
+        )
+        n_stripes = total
+    else:
+        if n_stripes is None:
+            total_rows = df.count()
+            n_stripes = part_mod.pick_stripe_count(total_rows, 0,
+                                                   target_rows=target_rows_per_stripe)
+        staged = part_mod.with_hash_stripes(df, key, n_stripes)
+
+    skipped = 0
+    if resume:
+        done = completed_stripes(spark, out_dir)
+        if done:
+            skipped = len(done)
+            staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
+
+    parts = n_partitions or n_stripes
+    fn = _encode_partition_factory(codec, sort_within, fingerprint)
+    out = (
+        staged.repartition(parts, F.col(part_mod.STRIPE_COL))
+        .mapInArrow(fn, schema=STREAMS_SCHEMA)
+    )
+    out.write.mode("append").parquet(out_dir)
+    return {"n_stripes": n_stripes, "skipped": skipped, "out_dir": out_dir}
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-stripe metrics/lineage as a DataFrame (parsed FOOTER rows)."""
+    footers = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("kind") == "FOOTER")
+        .select("stripe_id", F.col("data").cast("string").alias("footer"))
+    )
+    parsed = footers.select(
+        "stripe_id",
+        F.from_json(
+            "footer",
+            "n_rows long, input_fingerprint string, sorted_by array<string>, "
+            "columns array<struct<name:string, arrow_type:string, encoding:string, "
+            "codec:string, n_rows:long, n_nulls:long>>",
+        ).alias("f"),
+        F.length("footer").alias("footer_bytes"),
+    )
+    return parsed.select(
+        "stripe_id",
+        F.col("f.n_rows").alias("n_rows"),
+        F.col("f.input_fingerprint").alias("input_fingerprint"),
+        F.col("f.sorted_by").alias("sorted_by"),
+        F.col("f.columns").alias("columns"),
+        "footer_bytes",
+    )

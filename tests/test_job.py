@@ -1,0 +1,112 @@
+"""End-to-end Spark job tests: encode → streams table → decode, resume,
+salting, projection.  (The distributed analog of TestVectorOrcFile.)"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from sparc.fixtures import pages
+from sparc.job import decode_job, encode_job, partition
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "pages.parquet"
+    pages.write_parquet(str(p), N_ROWS, seed=42)
+    return str(p)
+
+
+def _compare_roundtrip(spark, src_df, streams_dir, **decode_kw):
+    decoded = decode_job.run_decode(spark, streams_dir, **decode_kw)
+    left = src_df.toPandas().sort_values("url").reset_index(drop=True)
+    right = decoded.toPandas().sort_values("url").reset_index(drop=True)
+    assert len(left) == len(right)
+    for col in left.columns:
+        if col not in right.columns:
+            continue
+        l, r = left[col], right[col]
+        if l.dtype == object:
+            assert l.equals(r), f"column {col} mismatch"
+        else:
+            assert (l == r).all() or l.equals(r), f"column {col} mismatch"
+    return decoded
+
+
+def test_encode_decode_roundtrip(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=6,
+        sort_within=["lang", "warc_ts"], fingerprint="pages@42",
+    )
+    assert res["n_stripes"] == 6 and res["skipped"] == 0
+    _compare_roundtrip(spark, df, out, verify_crc=True)
+
+
+def test_resume_skips_completed(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=4)
+    n_rows_1 = spark.read.parquet(out).count()
+    res2 = encode_job.run_encode(df, out, strategy="hash", n_stripes=4)
+    assert res2["skipped"] == 4
+    assert spark.read.parquet(out).count() == n_rows_1  # nothing re-encoded
+
+
+def test_resume_after_partial_failure(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=6, n_partitions=6)
+    # simulate a lost task: remove the largest committed part file (an
+    # empty-partition file would delete nothing)
+    part_files = sorted(glob.glob(os.path.join(out, "part-*")), key=os.path.getsize)
+    os.remove(part_files[-1])
+    done_before = set(encode_job.completed_stripes(spark, out))
+    assert len(done_before) < 6
+    res = encode_job.run_encode(df, out, strategy="hash", n_stripes=6, n_partitions=6)
+    assert res["skipped"] == len(done_before)
+    assert len(encode_job.completed_stripes(spark, out)) == 6
+    _compare_roundtrip(spark, df, out)
+
+
+def test_lang_salted_strategy(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode(
+        df, out, strategy="lang_salted", target_rows_per_stripe=1000,
+        sort_within=["warc_ts"],
+    )
+    # en is ~40% of rows -> must be split into multiple salt buckets
+    n_langs = df.select("lang").distinct().count()
+    assert res["n_stripes"] > n_langs
+    _compare_roundtrip(spark, df, out)
+
+
+def test_decode_projection(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=4)
+    dec = decode_job.run_decode(spark, out, columns=["url", "lang"])
+    assert dec.columns == ["url", "lang"]
+    assert dec.count() == N_ROWS
+
+
+def test_metrics_lineage(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=4, fingerprint="fp-1")
+    m = encode_job.read_metrics(spark, out).toPandas()
+    assert len(m) == 4
+    assert (m["input_fingerprint"] == "fp-1").all()
+    assert m["n_rows"].sum() == N_ROWS
+
+
+def test_stripe_count_estimator():
+    assert partition.pick_stripe_count(10**6, 10 << 30) == (10 << 30) // (128 << 20)
+    assert partition.pick_stripe_count(100, 100) == 1
