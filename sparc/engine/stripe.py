@@ -261,6 +261,9 @@ def encode_stripe(
     batch: pa.RecordBatch | pa.Table, codec: str = "zstd"
 ) -> tuple[dict[tuple[str, str], bytes], dict]:
     """Encode all columns -> ({(column, kind): bytes}, stripe footer)."""
+    from .. import runtime
+
+    runtime.init()
     streams: dict[tuple[str, str], bytes] = {}
     footer = {"n_rows": batch.num_rows, "columns": []}
     for i, name in enumerate(batch.schema.names):
@@ -432,6 +435,9 @@ def _build_binary(
 def decode_stripe(
     streams: dict[tuple[str, str], bytes], footer: dict
 ) -> pa.Table:
+    from .. import runtime
+
+    runtime.init()
     cols = []
     names = []
     for col_meta in footer["columns"]:

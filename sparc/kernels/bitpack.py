@@ -26,8 +26,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
         nbytes = width // 8
         be = values.astype(">u8").view(np.uint8).reshape(n, 8)
         return be[:, 8 - nbytes :].tobytes()
-    shifts = np.arange(width - 1, -1, -1, dtype=U64)
-    bits = ((values[:, None] >> shifts) & U64(1)).astype(np.uint8)
+    # shift-free path (64-bit shifts are ~100x slow on this host): view each
+    # value as 8 big-endian bytes, unpack to a (n, 64) bit matrix, keep the
+    # low ``width`` bit columns, re-pack the ravel
+    be = values.astype(">u8").view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(be, axis=1)[:, 64 - width :]
     return np.packbits(bits.reshape(-1)).tobytes()
 
 
@@ -42,8 +45,9 @@ def unpack(data: bytes | memoryview, n: int, width: int) -> np.ndarray:
         be[:, 8 - nbytes :] = raw.reshape(n, nbytes)
         return be.view(">u8").reshape(n).astype(U64)
     bits = np.unpackbits(raw)[: n * width].reshape(n, width)
-    powers = (U64(1) << np.arange(width - 1, -1, -1, dtype=U64)).astype(U64)
-    return (bits.astype(U64) * powers).sum(axis=1, dtype=U64)
+    full = np.zeros((n, 64), dtype=np.uint8)
+    full[:, 64 - width :] = bits
+    return np.packbits(full, axis=1).view(">u8").reshape(n).astype(U64)
 
 
 def packed_size(n: int, width: int) -> int:

@@ -9,10 +9,13 @@ Scheme: up to 255 symbols of 1..8 bytes; output codes 0..254 index the
 table, code 255 escapes one literal byte.  Training is a deterministic
 iterative merge (singles → pairs → longer), scored by frequency × length.
 
-Encode: vectorized longest-match precompute (numpy windows + searchsorted
-per symbol length), then a scalar greedy walk (O(#output codes), the one
-Python-speed loop — flagged as the round-2 optimization target).
-Decode: fully vectorized ragged gather.
+Encode: vectorized longest-match precompute (mul-built big-endian window
+keys + per-length direct/hash lookup tables — no 64-bit shifts and no
+``searchsorted``, both ~100x slow on this host), then a scalar greedy walk
+(O(#output codes), the one Python-speed loop).
+Decode: fully vectorized, including escape resolution (every maximal run
+of 0xFF bytes starts at a code position, so escapes sit at even offsets
+within the run — provable from the 1-or-2-byte token structure).
 """
 
 from __future__ import annotations
@@ -25,13 +28,32 @@ MAX_SYMBOL_LEN = 8
 TRAIN_ITERS = 4
 SAMPLE_TARGET = 1 << 16
 
-_P256 = (np.uint64(256) ** np.arange(7, -1, -1).astype(np.uint64)).astype(np.uint64)
+_HASH_BITS = 16
+_HASH_SIZE = 1 << _HASH_BITS
+_HASH_MASK = np.uint64(_HASH_SIZE - 1)
+_HASH_MUL = np.uint64(0x9E3779B97F4A7C15)
+_D16 = np.uint64(1 << 16)
+_D32 = np.uint64(1 << 32)
+_D48 = np.uint64(1 << 48)
+
+
+def _mix16(k: np.ndarray) -> np.ndarray:
+    """uint64 -> 16-bit slot, shift-free (floordiv/xor/mul are fast here)."""
+    with np.errstate(over="ignore"):  # wrap-around multiply is intended
+        x = k ^ (k // _D16) ^ (k // _D32) ^ (k // _D48)
+        return (x * _HASH_MUL) & _HASH_MASK
+
+
+def _mix16_scalar(key: int) -> int:
+    """Python-int twin of :func:`_mix16` (bit-identical, no numpy overhead)."""
+    x = key ^ (key >> 16) ^ (key >> 32) ^ (key >> 48)
+    return (x * 0x9E3779B97F4A7C15) & 0xFFFF
 
 
 class SymbolTable:
     """Immutable trained symbol table."""
 
-    __slots__ = ("symbols", "sym_buf", "sym_off", "sym_len", "_match")
+    __slots__ = ("symbols", "sym_buf", "sym_off", "sym_len", "_match", "_dropped")
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -46,17 +68,35 @@ class SymbolTable:
         self.sym_len[ESCAPE] = 1
         self.sym_off = offsets
         self.sym_buf = np.frombuffer(bytes(buf), dtype=np.uint8)
-        # per-length sorted key tables for vectorized longest-match
+        # per-length lookup tables: length -> (slot_keys u64[65536],
+        # slot_codes u8[65536]).  Length 1/2 are direct-addressed by the key
+        # itself; lengths 3..8 use a multiplicative hash slot with full-key
+        # verify at lookup.  Hash-colliding symbols are dropped from the
+        # match tables (correctness unaffected — matching is optional).
         self._match = {}
+        self._dropped = 0
         by_len: dict[int, list[tuple[int, int]]] = {}
         for code, s in enumerate(symbols):
-            key = int.from_bytes(s.ljust(8, b"\0"), "big") >> (8 * (8 - len(s)))
+            key = int.from_bytes(s, "big")
             by_len.setdefault(len(s), []).append((key, code))
         for length, pairs in by_len.items():
-            pairs.sort()
-            keys = np.array([k for k, _ in pairs], dtype=np.uint64)
-            codes = np.array([c for _, c in pairs], dtype=np.uint8)
-            self._match[length] = (keys, codes)
+            if length <= 2:
+                size = 1 << (8 * length)
+                slot_codes = np.full(size, ESCAPE, dtype=np.uint8)
+                for key, code in pairs:
+                    slot_codes[key] = code
+                self._match[length] = (None, slot_codes)
+            else:
+                slot_keys = np.zeros(_HASH_SIZE, dtype=np.uint64)
+                slot_codes = np.full(_HASH_SIZE, ESCAPE, dtype=np.uint8)
+                for key, code in pairs:
+                    slot = _mix16_scalar(key)
+                    if slot_codes[slot] != ESCAPE:
+                        self._dropped += 1
+                        continue
+                    slot_keys[slot] = key
+                    slot_codes[slot] = code
+                self._match[length] = (slot_keys, slot_codes)
 
     # -- serialization ------------------------------------------------------
     def serialize(self) -> bytes:
@@ -82,14 +122,16 @@ class SymbolTable:
 def _window_keys(data: np.ndarray) -> np.ndarray:
     """uint64 big-endian 8-byte window starting at each position.
 
-    Shift-accumulate (8 vector ops) instead of a (n,8) window matrix —
-    avoids a ~64x temporary blow-up on large stripes.
+    Multiply-accumulate (8 vector ops) — no shifts, no (n,8) matrix.
     """
     n = data.size
     padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
     key = np.zeros(n, dtype=np.uint64)
-    for j in range(8):
-        key |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
+    p = np.uint64(1)
+    for j in range(7, -1, -1):
+        key += padded[j : j + n].astype(np.uint64) * p
+        if j:
+            p = p * np.uint64(256)
     return key
 
 
@@ -101,16 +143,27 @@ def _find_matches(table: SymbolTable, data: np.ndarray) -> tuple[np.ndarray, np.
     if n == 0:
         return match_len, match_code
     key8 = _window_keys(data)
+    d256 = np.uint64(256)
+    k = key8
+    shrunk = 8
+    # longest first; shorter lengths only fill still-unmatched positions
     for length in sorted(table._match, reverse=True):
-        keys, codes = table._match[length]
-        k = key8 >> np.uint64(8 * (8 - length))
-        idx = np.searchsorted(keys, k)
-        idx[idx == keys.size] = 0
-        hit = (keys[idx] == k) & (match_len == 0)
+        slot_keys, slot_codes = table._match[length]
+        while shrunk > length:
+            k = k // d256
+            shrunk -= 1
+        if slot_keys is None:  # direct-addressed (length 1 or 2)
+            cand = slot_codes[k]
+            hit = cand != ESCAPE
+        else:
+            slot = _mix16(k)
+            cand = slot_codes[slot]
+            hit = (slot_keys[slot] == k) & (cand != ESCAPE)
+        hit &= match_len == 0
         if length > 1:  # window must not run past the end
             hit[n - length + 1 :] = False
         match_len[hit] = length
-        match_code[hit] = codes[idx[hit]]
+        match_code[hit] = cand[hit]
     return match_len, match_code
 
 
@@ -140,11 +193,17 @@ def decompress(enc: bytes, table: SymbolTable) -> bytes:
     if not enc:
         return b""
     data = np.frombuffer(enc, dtype=np.uint8)
-    # resolve escapes: a 255 at a code position escapes the next byte
+    # resolve escapes: a 255 at a code position escapes the next byte.
+    # Every maximal run of 0xFF bytes starts at a code position (the byte
+    # before a run is a non-0xFF literal or non-escape code, so the next
+    # position is a code), hence escapes sit at even offsets within runs.
     is_literal = np.zeros(data.size + 1, dtype=bool)
-    for p in np.flatnonzero(data == ESCAPE).tolist():
-        if not is_literal[p]:
-            is_literal[p + 1] = True
+    pos = np.flatnonzero(data == ESCAPE)
+    if pos.size:
+        run_start = np.concatenate(([True], np.diff(pos) > 1))
+        first = pos[run_start][np.cumsum(run_start) - 1]
+        esc = pos[((pos - first) & 1) == 0]
+        is_literal[esc + 1] = True
     is_literal = is_literal[:-1]
     codes = data[~is_literal]
     out_lens = table.sym_len[codes]

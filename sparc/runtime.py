@@ -1,0 +1,77 @@
+"""Process-level allocator tuning for the encode/decode hot paths.
+
+This sandbox's VM shows memory-state-dependent anonymous-page-fault
+latency (measured from ~0.6us up to ~650us per 4 KiB first-touch fault
+under pressure), which can make every fresh large numpy temporary cost
+seconds.  Two mitigations, both safe no-ops on healthy hosts:
+
+1. ``mallopt``: raise M_MMAP_THRESHOLD and M_TRIM_THRESHOLD so glibc
+   serves large numpy buffers from the (reusable) heap instead of
+   mmap/munmap-per-allocation — once faulted, pages stay faulted.
+2. ``init`` pre-faults a heap block with ``madvise(MADV_POPULATE_WRITE)``
+   (one syscall, no per-fault VMM exits; measured fast in every memory
+   state we hit), then frees it back to the glibc free list for numpy
+   to reuse.
+
+Call :func:`init` once per process (driver and each Python worker);
+it is idempotent and cheap after the first call.  The encode/decode
+``mapInArrow`` functions call it lazily.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+_MADV_POPULATE_WRITE = 23
+_PAGE = 4096
+
+_initialized_bytes = 0
+
+
+def _libc() -> ctypes.CDLL | None:
+    try:
+        return ctypes.CDLL("libc.so.6", use_errno=True)
+    except OSError:  # non-glibc platform
+        return None
+
+
+def init(warm_bytes: int | None = None) -> int:
+    """Tune malloc and optionally pre-fault ``warm_bytes`` of heap
+    (default 0 — measurements show first-touch cost is host-state
+    dependent and proportional to pages actually used, so a blind warm
+    only helps when the populate path is in a fast state; override with
+    SPARC_WARM_HEAP_BYTES).  Returns the number of bytes warmed.
+    Idempotent: repeated calls only grow the warm size.
+    """
+    global _initialized_bytes
+    if warm_bytes is None:
+        warm_bytes = int(os.environ.get("SPARC_WARM_HEAP_BYTES", 0))
+    libc = _libc()
+    if libc is None:
+        return 0
+    if _initialized_bytes == 0:
+        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+    if warm_bytes <= _initialized_bytes:
+        return _initialized_bytes
+
+    import numpy as np
+
+    buf = np.empty(warm_bytes, dtype=np.uint8)
+    addr = buf.ctypes.data
+    start = (addr + _PAGE - 1) & ~(_PAGE - 1)
+    length = (addr + warm_bytes - start) & ~(_PAGE - 1)
+    populated = False
+    if length > 0:
+        r = libc.madvise(
+            ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_POPULATE_WRITE
+        )
+        populated = r == 0
+    if not populated:  # pre-5.14 kernel: plain first-touch
+        buf[::_PAGE] = 0
+    del buf  # back to the glibc free list (trim threshold keeps it)
+    _initialized_bytes = warm_bytes
+    return _initialized_bytes
