@@ -129,50 +129,71 @@ def main() -> None:
     from sparc.job import decode_job, encode_job
 
     # ---- headline: encode the pages table ---------------------------------
-    out_dir = os.path.join(CACHE, f"streams_{CPUS}_{n_rows}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # Two timed runs: "cold" pays the per-worker-process first-touch page
+    # faults of this sandbox's VM (fresh Python workers); "warm" reuses the
+    # same long-lived workers, which is the representative regime at scale
+    # (a production worker encodes thousands of stripes, not one).  The
+    # headline metric is the warm run; cold is reported alongside.
     df = spark.read.parquet(pages_path)
     # hash stripes + in-stripe (lang, warc_ts) sort: measured equal
     # compression to lang-salted clustering (the sort already groups
     # languages inside each stripe) at ~4x the throughput; lang_salted
     # remains the strategy for lang-partitioned layouts (tested in CI)
-    n_stripes = max(CPUS, (raw >> 27))  # ~128 MiB per stripe, >= 1/core
-    t0 = time.perf_counter()
-    encode_job.run_encode(
-        df,
-        out_dir,
-        strategy="hash",
-        n_stripes=n_stripes,
-        sort_within=["lang", "warc_ts"],
-        fingerprint=f"bench-{n_rows}",
-        resume=False,
-    )
-    enc_wall = time.perf_counter() - t0
+    # >=4 stripes/core: bounds each worker's resident footprint and matches
+    # the many-stripes-per-executor shape of a real cluster run
+    n_stripes = max(CPUS * 4, (raw >> 27))
+    enc_walls = []
+    for attempt in ("cold", "warm"):
+        out_dir = os.path.join(CACHE, f"streams_{CPUS}_{n_rows}_{attempt}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_job.run_encode(
+            df,
+            out_dir,
+            strategy="hash",
+            n_stripes=n_stripes,
+            sort_within=["lang", "warc_ts"],
+            fingerprint=f"bench-{n_rows}",
+            resume=False,
+        )
+        enc_walls.append(time.perf_counter() - t0)
+    enc_wall = enc_walls[-1]
+    timings["encode_pages_cold"] = round(enc_walls[0], 3)
     timings["encode_pages"] = round(enc_wall, 3)
+    extras["encode_gbps_cold"] = round(raw / enc_walls[0] / 1e9, 4)
     extras["encode_gbps"] = round(raw / enc_wall / 1e9, 4)
     ours_bytes = dir_bytes(out_dir)
     extras["ours_bytes_per_row"] = round(ours_bytes / n_rows, 2)
 
-    # ---- reference: Spark's bundled orc-core writer, zstd -----------------
-    ref_dir = os.path.join(CACHE, f"ref_orc_{n_rows}")
-    shutil.rmtree(ref_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    df.write.option("compression", "zstd").orc(ref_dir)
-    ref_wall = time.perf_counter() - t0
+    # ---- reference: Spark's bundled orc-core writer, zstd (cold + warm) ---
+    ref_walls = []
+    for attempt in ("cold", "warm"):
+        ref_dir = os.path.join(CACHE, f"ref_orc_{n_rows}_{attempt}")
+        shutil.rmtree(ref_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        df.write.option("compression", "zstd").orc(ref_dir)
+        ref_walls.append(time.perf_counter() - t0)
+    ref_wall = ref_walls[-1]
+    timings["reference_orc_write_cold"] = round(ref_walls[0], 3)
     timings["reference_orc_write"] = round(ref_wall, 3)
     ref_bytes = dir_bytes(ref_dir)
     extras["ref_bytes_per_row"] = round(ref_bytes / n_rows, 2)
     extras["size_vs_reference"] = round(ours_bytes / ref_bytes, 4)
     extras["ref_gbps"] = round(raw / ref_wall / 1e9, 4)
+    extras["encode_vs_reference_wall"] = round(enc_wall / ref_wall, 4)
 
-    # ---- decode the pages table back --------------------------------------
-    t0 = time.perf_counter()
-    decoded = decode_job.run_decode(spark, out_dir)
-    n_dec = decoded.count()
-    dec_wall = time.perf_counter() - t0
+    # ---- decode the pages table back (cold + warm) ------------------------
+    dec_walls = []
+    for attempt in ("cold", "warm"):
+        t0 = time.perf_counter()
+        decoded = decode_job.run_decode(spark, out_dir)
+        n_dec = decoded.count()
+        dec_walls.append(time.perf_counter() - t0)
+        assert n_dec == n_rows, f"decode row count {n_dec} != {n_rows}"
+    dec_wall = dec_walls[-1]
+    timings["decode_pages_cold"] = round(dec_walls[0], 3)
     timings["decode_pages"] = round(dec_wall, 3)
     extras["decode_gbps"] = round(raw / dec_wall / 1e9, 4)
-    assert n_dec == n_rows, f"decode row count {n_dec} != {n_rows}"
 
     # ---- operator sample at the testdata scale factor ----------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
