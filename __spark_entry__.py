@@ -425,6 +425,66 @@ def _embedding_dups(spark, sf_dir):
     )
 
 
+_REDACT_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+_REDACT_TO = "X" * 26 + "x" * 26 + "9" * 10
+
+
+def _mask_redact(spark, sf_dir):
+    from sparc.ops import mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mask.apply_masks(docs, {"lang": "redact", "source": "redact"})
+
+
+_MASK_REDACT_SQL = f"""
+SELECT doc_id,
+       translate(lang, '{_REDACT_FROM}', '{_REDACT_TO}') AS lang,
+       translate(source, '{_REDACT_FROM}', '{_REDACT_TO}') AS source
+FROM documents
+"""
+
+
+def _mask_sha256(spark, sf_dir):
+    from sparc.ops import mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mask.apply_masks(docs, {"text": "sha256"})
+
+
+_MASK_SHA256_SQL = """
+SELECT doc_id, sha256(text) AS text FROM documents
+"""
+
+
+def _stripe_prune_documents(spark, sf_dir):
+    """Engine-internal: encode documents into stripes with stats+bloom,
+    then count stripes kept by a stats range probe and a bloom point
+    probe (both prune without touching data streams)."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from sparc.job import decode_job, encode_job
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sparc_prune_") + "/streams"
+    encode_job.run_encode(
+        docs, out, key="doc_id", strategy="hash", n_stripes=4,
+        resume=False, bloom_columns=["lang"],
+    )
+    total = len(decode_job.completed_stripes(spark, out))
+    probe_lang = docs.orderBy("doc_id").first()["lang"]
+    kept_stats = len(decode_job.prune_stripes(spark, out, "doc_id", lo=0, hi=10))
+    kept_bloom = len(decode_job.prune_stripes_bloom(spark, out, "lang", probe_lang))
+    kept_bloom_absent = len(
+        decode_job.prune_stripes_bloom(spark, out, "lang", "zz-not-a-lang")
+    )
+    return spark.createDataFrame(
+        [(total, kept_stats, kept_bloom, kept_bloom_absent)],
+        "n_stripes long, kept_stats long, kept_bloom long, kept_bloom_absent long",
+    )
+
+
 def _multimodal_features(spark, sf_dir):
     from sparc.ops import multimodal
 
@@ -470,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "embedding_dups": _embedding_dups,
         "multimodal_features": _multimodal_features,
+        # masking + pruning surfaces
+        "mask_redact": _mask_redact,
+        "mask_sha256": _mask_sha256,
+        "stripe_prune_documents": _stripe_prune_documents,
     }
 
 
@@ -490,7 +554,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simsearch_topk": _SIMSEARCH_SQL,
+        "mask_redact": _MASK_REDACT_SQL,
+        "mask_sha256": _MASK_SHA256_SQL,
         # rows-only (non-SQL-expressible: xxhash64-based or by-design approximate):
         # encode_metrics_documents, minhash_lsh_candidates, simhash, lsh_topk,
-        # embedding_dups, multimodal_features
+        # embedding_dups, multimodal_features, stripe_prune_documents
     }

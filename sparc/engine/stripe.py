@@ -33,7 +33,7 @@ from . import stats as stats_mod
 TS_BASE_SECONDS = 1_420_070_400
 
 DICT_CHECK_ROWS = 10_000  # ROW_INDEX_STRIDE_DICTIONARY_CHECK analog
-FSST_MIN_WIN = 0.90  # use FSST only if it beats raw by >10% (throughput guard)
+FSST_MIN_WIN = 0.90  # pre-codec sample ratio gate (see _encode_binary_like)
 FSST_MAX_AVG_LEN = 4096  # strings only; big blobs go straight to zstd
 FSST_SAMPLE = 1 << 16
 
@@ -141,7 +141,7 @@ def encode_column(
         meta["encoding"] = "bool"
         meta["stats"] = stats_mod.bool_stats(vals, arr.null_count).to_dict()
     elif _is_binary_like(t):
-        _encode_binary_like(arr, streams, meta)
+        _encode_binary_like(arr, streams, meta, codec)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         nn = arr.drop_null() if arr.null_count else arr
         counts = nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -180,7 +180,9 @@ def _is_binary_like(t: pa.DataType) -> bool:
     )
 
 
-def _encode_binary_like(arr: pa.Array, streams: dict, meta: dict) -> None:
+def _encode_binary_like(
+    arr: pa.Array, streams: dict, meta: dict, codec: str = "zstd"
+) -> None:
     """String/binary: dict-vs-direct(-vs-FSST) auto-selection by stripe stats.
 
     Mirrors checkDictionaryEncoding's early 10k-row check + the 0.8
@@ -228,6 +230,12 @@ def _encode_binary_like(arr: pa.Array, streams: dict, meta: dict) -> None:
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     use_fsst = False
     if len(data_buf) >= 4096 and is_str and avg_len <= FSST_MAX_AVG_LEN:
+        # Decision is on the PRE-block-codec ratio: comparing post-zstd
+        # sizes on a small sample is biased against FSST (an FSST'd 256 KiB
+        # chunk holds ~2x the original content, which zstd only exploits at
+        # full-chunk scale — measured: sample-level post-zstd ratio ~1.02
+        # vs full-stream 0.78-0.91).  A pre-codec ratio < FSST_MIN_WIN
+        # empirically predicts a post-codec win on web text/urls.
         sample = bytes(data_buf[:FSST_SAMPLE])
         table = fsst.train(sample)
         sample_enc = fsst.compress(sample, table)
@@ -258,9 +266,14 @@ def _concat_binary(bin_arr: pa.Array) -> memoryview:
 
 
 def encode_stripe(
-    batch: pa.RecordBatch | pa.Table, codec: str = "zstd"
+    batch: pa.RecordBatch | pa.Table,
+    codec: str = "zstd",
+    bloom_columns: list[str] | None = None,
 ) -> tuple[dict[tuple[str, str], bytes], dict]:
-    """Encode all columns -> ({(column, kind): bytes}, stripe footer)."""
+    """Encode all columns -> ({(column, kind): bytes}, stripe footer).
+
+    ``bloom_columns`` adds a per-stripe BLOOM_FILTER_UTF8 stream for the
+    named columns (point-lookup stripe pruning, SURVEY.md §2.6)."""
     from .. import runtime
 
     runtime.init()
@@ -268,7 +281,19 @@ def encode_stripe(
     footer = {"n_rows": batch.num_rows, "columns": []}
     for i, name in enumerate(batch.schema.names):
         col = batch.column(i)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         col_streams, col_meta = encode_column(col, name, codec)
+        if bloom_columns and name in bloom_columns:
+            from . import bloom as bloom_mod
+
+            nn = col.drop_null() if col.null_count else col
+            blob = bloom_mod.build(nn.to_pandas())
+            col_streams["BLOOM_FILTER_UTF8"] = blob
+            col_meta["streams"]["BLOOM_FILTER_UTF8"] = {
+                "encoded": len(blob),
+                "compressed": len(blob),  # bloom bits are high-entropy; stored raw
+            }
         for kind, data in col_streams.items():
             streams[(name, kind)] = data
         footer["columns"].append(col_meta)
@@ -289,7 +314,9 @@ def decode_column(
     raw = {
         k: block.decompress(v, codec)
         for k, v in streams.items()
-        if not k.startswith("CHILD_")  # child streams decompress recursively
+        # child streams decompress recursively; bloom streams are index
+        # metadata, not data — never needed to reconstruct values
+        if not k.startswith("CHILD_") and k != "BLOOM_FILTER_UTF8"
     }
 
     valid = None

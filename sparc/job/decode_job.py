@@ -66,9 +66,22 @@ def run_decode(
     schema_ddl: str | None = None,
     verify_crc: bool = False,
     n_partitions: int | None = None,
+    stripe_filter: tuple[str, object, object] | None = None,
 ) -> DataFrame:
-    """Decode the streams table back to a DataFrame of the original schema."""
+    """Decode the streams table back to a DataFrame of the original schema.
+
+    ``stripe_filter=(column, lo, hi)`` prunes whole stripes whose footer
+    min/max range does not intersect [lo, hi] BEFORE the shuffle — the
+    engine-side analog of the reference's stripe-level SearchArgument
+    pruning (SURVEY.md §2.7; ``RecordReaderImpl.evaluatePredicateProto``).
+    Note this prunes, it does not filter rows: apply the row predicate on
+    the decoded DataFrame as usual (Catalyst handles it).
+    """
     raw = spark.read.parquet(streams_dir)
+    if stripe_filter is not None:
+        col, lo, hi = stripe_filter
+        keep = prune_stripes(spark, streams_dir, col, lo, hi)
+        raw = raw.filter(F.col("stripe_id").isin(keep))
     if columns:
         raw = raw.filter(
             F.col("column").isin(list(columns) + [""])  # keep FOOTER rows
@@ -78,6 +91,97 @@ def run_decode(
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
     fn = _decode_partition_factory(columns, verify_crc)
     return raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
+
+
+def prune_stripes_bloom(
+    spark: SparkSession, streams_dir: str, column: str, value
+) -> list[int]:
+    """Stripe ids that *might* contain ``value`` in ``column``, per the
+    per-stripe bloom streams (BLOOM_FILTER_UTF8; no false negatives).
+    Stripes without a bloom stream for the column are kept."""
+    from ..engine import bloom as bloom_mod
+
+    blooms = {
+        r["stripe_id"]: bytes(r["data"])
+        for r in (
+            spark.read.parquet(streams_dir)
+            .filter((F.col("kind") == "BLOOM_FILTER_UTF8") & (F.col("column") == column))
+            .select("stripe_id", "data")
+            .collect()
+        )
+    }
+    all_ids = [
+        r[0]
+        for r in spark.read.parquet(streams_dir)
+        .filter(F.col("kind") == "FOOTER")
+        .select("stripe_id")
+        .distinct()
+        .collect()
+    ]
+    return sorted(
+        sid
+        for sid in all_ids
+        if sid not in blooms or bloom_mod.might_contain(blooms[sid], value)
+    )
+
+
+def stripe_column_stats(spark: SparkSession, streams_dir: str) -> list[dict]:
+    """[{stripe_id, column, kind, min, max, n_nulls, n_values}, ...] parsed
+    from the stripe footers.
+
+    Footers are planner-scale metadata (one per stripe, like the
+    reference's stripe directory read by ``ReaderImpl``); at 10^12-row
+    scale this collect is a ~GB metrics-table scan and should become a
+    DataFrame join — the pruning contract is unchanged.
+    """
+    rows = (
+        spark.read.parquet(streams_dir)
+        .filter(F.col("kind") == "FOOTER")
+        .select("stripe_id", "data")
+        .collect()
+    )
+    out = []
+    for sid, blob in rows:
+        footer = json.loads(bytes(blob).decode())
+        for c in footer["columns"]:
+            st = c.get("stats") or {}
+            out.append(
+                {
+                    "stripe_id": sid,
+                    "column": c["name"],
+                    "kind": st.get("kind"),
+                    "min": st.get("min"),
+                    "max": st.get("max"),
+                    "n_nulls": c.get("n_nulls", 0),
+                    "n_values": st.get("n_values", c.get("n_rows", 0)),
+                }
+            )
+    return out
+
+
+def prune_stripes(
+    spark: SparkSession, streams_dir: str, column: str, lo=None, hi=None
+) -> list[int]:
+    """Stripe ids whose [min, max] for ``column`` intersects [lo, hi].
+
+    Tri-state like the reference's TruthValue algebra: a stripe with no
+    stats for the column (all-null or missing) is kept (YES_NO_NULL ->
+    cannot skip).  ``lo``/``hi`` of None mean unbounded.
+    """
+    keep = []
+    for st in stripe_column_stats(spark, streams_dir):
+        if st["column"] != column:
+            continue
+        mn, mx = st["min"], st["max"]
+        if mn is None or mx is None:
+            keep.append(st["stripe_id"])
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(st["stripe_id"])
+    return sorted(set(keep))
 
 
 _ARROW_TO_DDL = {

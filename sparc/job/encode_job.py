@@ -46,7 +46,10 @@ _PA_OUT = pa.schema(
 
 
 def _encode_partition_factory(
-    codec: str, sort_within: list[str] | None, fingerprint: str
+    codec: str,
+    sort_within: list[str] | None,
+    fingerprint: str,
+    bloom_columns: list[str] | None = None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow function (no per-row Python anywhere inside)."""
 
@@ -62,7 +65,9 @@ def _encode_partition_factory(
             sub = sub.drop_columns([part_mod.STRIPE_COL])
             if sort_within:
                 sub = sub.sort_by([(c, "ascending") for c in sort_within])
-            streams, footer = stripe_mod.encode_stripe(sub, codec=codec)
+            streams, footer = stripe_mod.encode_stripe(
+                sub, codec=codec, bloom_columns=bloom_columns
+            )
             # per-stream crc32 into the footer (integrity for resume/decode)
             crcs = {f"{c}/{k}": zlib.crc32(v) for (c, k), v in streams.items()}
             footer["crc32"] = crcs
@@ -116,6 +121,7 @@ def run_encode(
     resume: bool = True,
     fingerprint: str = "",
     n_partitions: int | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Run (or resume) the encode job.  Returns a summary dict."""
     spark = df.sparkSession
@@ -140,7 +146,7 @@ def run_encode(
             staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
 
     parts = n_partitions or n_stripes
-    fn = _encode_partition_factory(codec, sort_within, fingerprint)
+    fn = _encode_partition_factory(codec, sort_within, fingerprint, bloom_columns)
     out = (
         staged.repartition(parts, F.col(part_mod.STRIPE_COL))
         .mapInArrow(fn, schema=STREAMS_SCHEMA)

@@ -1,0 +1,157 @@
+"""Tests for stripe pruning (stats + bloom), write-time masking, and
+stripe compaction — the SURVEY.md §2.1/§2.6/§2.7/§2.9 surfaces."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparc.engine import bloom
+from sparc.fixtures import pages
+from sparc.job import compact_job, decode_job, encode_job
+from sparc.ops import mask
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "pages.parquet"
+    pages.write_parquet(str(p), N_ROWS, seed=7)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def streams_dir(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("streams") / "s")
+    df = spark.read.parquet(pages_path)
+    encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=6, resume=False,
+        bloom_columns=["url"], fingerprint="prune-test",
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stats-based stripe pruning
+# ---------------------------------------------------------------------------
+
+
+def test_stripe_stats_parse(spark, streams_dir):
+    stats = decode_job.stripe_column_stats(spark, streams_dir)
+    cols = {s["column"] for s in stats}
+    assert {"url", "warc_ts", "html", "text", "lang"} <= cols
+    url_stats = [s for s in stats if s["column"] == "url"]
+    assert len(url_stats) == 6
+    assert all(s["min"] is not None and s["max"] is not None for s in url_stats)
+
+
+def test_prune_keeps_matching_stripes_only(spark, streams_dir):
+    stats = decode_job.stripe_column_stats(spark, streams_dir)
+    url_stats = sorted(
+        (s for s in stats if s["column"] == "url"), key=lambda s: s["stripe_id"]
+    )
+    # probe with one stripe's exact min: that stripe must survive
+    target = url_stats[2]
+    keep = decode_job.prune_stripes(
+        spark, streams_dir, "url", lo=target["min"], hi=target["min"]
+    )
+    assert target["stripe_id"] in keep
+    # stripes whose range excludes the probe must be gone
+    for s in url_stats:
+        if s["min"] > target["min"] or s["max"] < target["min"]:
+            assert s["stripe_id"] not in keep
+
+
+def test_pruned_decode_is_correct_subset(spark, pages_path, streams_dir):
+    df = spark.read.parquet(pages_path)
+    lo, hi = "https://a", "https://m"
+    decoded = decode_job.run_decode(
+        spark, streams_dir, stripe_filter=("url", lo, hi)
+    )
+    got = (
+        decoded.filter((F.col("url") >= lo) & (F.col("url") <= hi))
+        .count()
+    )
+    want = df.filter((F.col("url") >= lo) & (F.col("url") <= hi)).count()
+    assert got == want  # pruning never loses matching rows
+
+
+# ---------------------------------------------------------------------------
+# bloom pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_roundtrip_no_false_negatives():
+    vals = pd.Series([f"key-{i}" for i in range(5000)])
+    blob = bloom.build(vals)
+    assert all(bloom.might_contain(blob, v) for v in vals[:200])
+    fp = sum(bloom.might_contain(blob, f"absent-{i}") for i in range(1000))
+    assert fp < 50  # ~1% FPP target, generous bound
+
+
+def test_bloom_prunes_stripes(spark, pages_path, streams_dir):
+    df = spark.read.parquet(pages_path)
+    probe = df.select("url").first()[0]
+    keep = decode_job.prune_stripes_bloom(spark, streams_dir, "url", probe)
+    assert keep  # the probe's stripe must survive
+    absent = decode_job.prune_stripes_bloom(
+        spark, streams_dir, "url", "https://definitely-not-present.example/x"
+    )
+    assert len(absent) < 6  # bloom prunes at least one stripe for absent keys
+
+
+# ---------------------------------------------------------------------------
+# masking
+# ---------------------------------------------------------------------------
+
+
+def test_redact_classes(spark):
+    df = spark.createDataFrame([("Ab1-Cd2",)], "s string")
+    out = mask.redact(df, "s").first()[0]
+    assert out == "Xx9-Xx9"
+
+
+def test_sha256_and_nullify(spark):
+    df = spark.createDataFrame([("secret",), ("secret",), ("other",)], "s string")
+    hashed = mask.sha256_mask(df, "s").toPandas()["s"]
+    assert hashed[0] == hashed[1] != hashed[2]
+    assert len(hashed[0]) == 64
+    nulled = mask.nullify(df, "s").toPandas()["s"]
+    assert nulled.isna().all()
+
+
+def test_masked_encode_roundtrip(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    masked = mask.apply_masks(df, {"url": "sha256", "lang": "redact"})
+    out = str(tmp_path / "masked_streams")
+    encode_job.run_encode(masked, out, strategy="hash", n_stripes=4,
+                          key="url", resume=False)
+    decoded = decode_job.run_decode(spark, out)
+    assert decoded.count() == N_ROWS
+    langs = decoded.select("lang").distinct().toPandas()["lang"]
+    assert all(set(v) <= set("x9X") for v in langs)
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_merges_without_reencode(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    half1 = df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half2 = df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    encode_job.run_encode(half1, d1, strategy="hash", n_stripes=3, resume=False)
+    encode_job.run_encode(half2, d2, strategy="hash", n_stripes=3, resume=False)
+    out = str(tmp_path / "merged")
+    res = compact_job.compact(spark, [d1, d2], out, n_output_files=2)
+    assert res["n_stripes"] == 6
+    decoded = decode_job.run_decode(spark, out)
+    assert decoded.count() == N_ROWS
+    # byte-identical text per url across the compaction (north-rule invariant)
+    src = df.select("url", "text").toPandas().sort_values("url").reset_index(drop=True)
+    got = decoded.select("url", "text").toPandas().sort_values("url").reset_index(drop=True)
+    assert src.equals(got)
