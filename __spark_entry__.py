@@ -472,7 +472,7 @@ def _stripe_prune_documents(spark, sf_dir):
         docs, out, key="doc_id", strategy="hash", n_stripes=4,
         resume=False, bloom_columns=["lang"],
     )
-    total = len(decode_job.completed_stripes(spark, out))
+    total = len(encode_job.completed_stripes(spark, out))
     probe_lang = docs.orderBy("doc_id").first()["lang"]
     kept_stats = len(decode_job.prune_stripes(spark, out, "doc_id", lo=0, hi=10))
     kept_bloom = len(decode_job.prune_stripes_bloom(spark, out, "lang", probe_lang))

@@ -6,14 +6,22 @@ driver instruction) we run the same job on the same input at two
 parallelism levels and report throughput at both plus the efficiency
   eff = (T_N / T_4N) / 4  ==  throughput_4N / (4 * throughput_N).
 
-Because this VM's vCPUs are oversubscribed, the script first calibrates
-the *hardware's own* scaling ceiling with pure-CPU busy loops (no memory,
-no IO); the job's efficiency is reported raw and relative to that
-ceiling.  Each timed point is the best of ``RUNS`` warm runs (the VM's
-timing noise is 2-4x; cold runs pay one-off page-fault costs that a
-long-lived production executor does not).
+Three numbers per pair, because this VM is a hostile measurement bench:
 
-Usage: python scaling_bench.py [N 4N ...]   (default pairs: 2/8 and 8/32)
+- ``job``: the full pipeline (scan -> stripe shuffle -> encode -> sink).
+- ``stage``: the encode stage alone, over pre-staged stripe-partitioned
+  parquet (no shuffle) — the engine-scaling signal.  On a real cluster
+  the shuffle scales horizontally with executors; local-mode shuffle on
+  this VM anti-scales beyond ~8 threads (measured: the no-op
+  scan+shuffle+pipe floor alone is 5-17 s and varies 3x run-to-run).
+- ``ceiling``: pure-CPU busy-loop scaling efficiency measured around the
+  runs — the oversubscribed vCPUs cap ANY job at well below 1.0.
+
+Each timed point is the best of ``RUNS`` warm runs (cold runs pay
+one-off page-fault costs a long-lived production executor does not).
+
+Usage: python scaling_bench.py [N 4N n_rows ...]
+Default pairs: (2, 8, 300k rows) and (8, 32, 900k rows).
 Writes BENCH/scaling.json and prints one JSON line per pair.
 """
 
@@ -26,9 +34,8 @@ import shutil
 import sys
 import time
 
-RUNS = 2
+RUNS = 3
 CACHE = os.environ.get("SPARC_BENCH_CACHE", "/tmp/sparc_bench")
-N_ROWS = int(os.environ.get("SPARC_BENCH_ROWS", "300000"))
 
 
 def _burn(q):
@@ -59,14 +66,10 @@ def cpu_ceiling(n: int, n4: int) -> float:
     return (a_4n / a_n) / (n4 / n)
 
 
-def encode_wall(cpus: int, n_stripes: int, raw_bytes: list) -> float:
-    """Best-of-RUNS warm encode wall at local[cpus] over the cached pages."""
+def _session(cpus: int):
     from pyspark.sql import SparkSession
 
-    import bench as bench_mod
-    from sparc.job import encode_job
-
-    spark = (
+    return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"sparc-scale-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
@@ -76,57 +79,92 @@ def encode_wall(cpus: int, n_stripes: int, raw_bytes: list) -> float:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
     )
+
+
+def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
+            raw_bytes: list) -> tuple[float, float]:
+    """(best full-job wall, best stage-only wall) at local[cpus]."""
+    from pyspark.sql import functions as F
+
+    import bench as bench_mod
+    from sparc.job import encode_job, partition as part_mod
+
+    spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages_path = os.path.join(CACHE, f"pages_{N_ROWS}.parquet")
-    bench_mod.gen_pages_parquet(spark, N_ROWS, pages_path)
+    pages_path = os.path.join(CACHE, f"pages_{n_rows}.parquet")
+    bench_mod.gen_pages_parquet(spark, n_rows, pages_path)
     if not raw_bytes:
         raw_bytes.append(bench_mod.raw_bytes_of(spark, pages_path))
     df = spark.read.parquet(pages_path)
-    walls = []
-    for r in range(RUNS + 1):  # +1 cold warm-up run, not timed
-        out_dir = os.path.join(CACHE, f"scale_{cpus}_{r}")
+
+    # stage once (untimed): stripe assignment + shuffle, persisted
+    if not os.path.exists(staged_path):
+        staged = part_mod.with_hash_stripes(df, "url", n_stripes)
+        staged.repartition(n_stripes, F.col(part_mod.STRIPE_COL)).write.mode(
+            "overwrite"
+        ).parquet(staged_path)
+
+    job_walls, stage_walls = [], []
+    fn = encode_job._encode_partition_factory("zstd", ["lang", "warc_ts"], "scale")
+    for r in range(RUNS + 1):  # first run warms workers, untimed
+        # full job
+        out_dir = os.path.join(CACHE, f"scale_job_{cpus}_{r}")
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         encode_job.run_encode(
             df, out_dir, strategy="hash", n_stripes=n_stripes,
-            sort_within=["lang", "warc_ts"], fingerprint=f"scale-{cpus}",
-            resume=False,
+            sort_within=["lang", "warc_ts"], fingerprint="scale", resume=False,
         )
-        walls.append(time.perf_counter() - t0)
+        w_job = time.perf_counter() - t0
         shutil.rmtree(out_dir, ignore_errors=True)
+        # encode stage only: pre-staged input, no shuffle, count-only sink
+        pre = spark.read.parquet(staged_path)
+        t0 = time.perf_counter()
+        pre.mapInArrow(fn, schema=encode_job.STREAMS_SCHEMA).select(
+            F.sum(F.octet_length("data"))
+        ).collect()
+        w_stage = time.perf_counter() - t0
+        if r > 0:
+            job_walls.append(w_job)
+            stage_walls.append(w_stage)
     spark.stop()
-    return min(walls[1:])
+    return min(job_walls), min(stage_walls)
 
 
 def main() -> None:
-    pairs = []
     args = [int(a) for a in sys.argv[1:]]
     if args:
-        pairs = [(args[i], args[i + 1]) for i in range(0, len(args), 2)]
+        pairs = [(args[i], args[i + 1], args[i + 2]) for i in range(0, len(args), 3)]
     else:
-        pairs = [(2, 8), (8, 32)]
+        pairs = [(2, 8, 300_000), (8, 32, 900_000)]
     os.makedirs("BENCH", exist_ok=True)
     results = []
-    raw_bytes: list = []
-    for n, n4 in pairs:
+    for n, n4, n_rows in pairs:
         ceiling = cpu_ceiling(n, n4)
         n_stripes = max(n4 * 4, 32)
-        t_n = encode_wall(n, n_stripes, raw_bytes)
-        t_4n = encode_wall(n4, n_stripes, raw_bytes)
+        staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
+        raw_bytes: list = []
+        j_n, s_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
+        j_4n, s_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
         raw = raw_bytes[0]
-        eff = (t_n / t_4n) / (n4 / n)
+        speedup = n4 / n
         rec = {
             "pair": f"local[{n}] -> local[{n4}]",
-            "n_rows": N_ROWS,
+            "n_rows": n_rows,
             "raw_bytes": raw,
             "n_stripes": n_stripes,
-            "wall_n_sec": round(t_n, 3),
-            "wall_4n_sec": round(t_4n, 3),
-            "gbps_n": round(raw / t_n / 1e9, 4),
-            "gbps_4n": round(raw / t_4n / 1e9, 4),
-            "scaling_efficiency": round(eff, 4),
+            "job_wall_n": round(j_n, 2),
+            "job_wall_4n": round(j_4n, 2),
+            "job_gbps_n": round(raw / j_n / 1e9, 4),
+            "job_gbps_4n": round(raw / j_4n / 1e9, 4),
+            "job_efficiency": round((j_n / j_4n) / speedup, 4),
+            "stage_wall_n": round(s_n, 2),
+            "stage_wall_4n": round(s_4n, 2),
+            "stage_gbps_n": round(raw / s_n / 1e9, 4),
+            "stage_gbps_4n": round(raw / s_4n / 1e9, 4),
+            "stage_efficiency": round((s_n / s_4n) / speedup, 4),
             "hardware_ceiling_efficiency": round(ceiling, 4),
-            "efficiency_vs_ceiling": round(eff / ceiling, 4),
+            "stage_efficiency_vs_ceiling": round((s_n / s_4n) / speedup / ceiling, 4),
         }
         results.append(rec)
         print(json.dumps(rec))

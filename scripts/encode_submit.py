@@ -1,0 +1,61 @@
+"""spark-submit entry point for the encode job.
+
+Usage:
+    spark-submit --py-files sparc.zip scripts/encode_submit.py \
+        --input <parquet-or-table> --output <streams-dir> \
+        [--strategy hash|lang_salted] [--stripes N] [--codec zstd] \
+        [--bloom col1,col2] [--sort col1,col2] [--no-resume]
+
+The job is resumable: re-running with the same output dir anti-joins
+planned stripes against committed FOOTER checkpoints and encodes only
+the remainder (per-partition lineage lives in the footers).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or table name")
+    ap.add_argument("--output", required=True, help="streams table output dir")
+    ap.add_argument("--strategy", default="hash", choices=["hash", "lang_salted"])
+    ap.add_argument("--stripes", type=int, default=None)
+    ap.add_argument("--codec", default="zstd")
+    ap.add_argument("--key", default="url")
+    ap.add_argument("--bloom", default="", help="comma-separated bloom columns")
+    ap.add_argument("--sort", default="lang,warc_ts",
+                    help="comma-separated in-stripe sort columns ('' disables)")
+    ap.add_argument("--fingerprint", default="", help="input snapshot id for lineage")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from sparc.job import encode_job
+
+    spark = SparkSession.builder.appName("sparc-encode").getOrCreate()
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+    summary = encode_job.run_encode(
+        df,
+        args.output,
+        key=args.key,
+        strategy=args.strategy,
+        n_stripes=args.stripes,
+        codec=args.codec,
+        sort_within=[c for c in args.sort.split(",") if c] or None,
+        bloom_columns=[c for c in args.bloom.split(",") if c] or None,
+        fingerprint=args.fingerprint,
+        resume=not args.no_resume,
+    )
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,16 @@ def init(warm_bytes: int | None = None) -> int:
     if _initialized_bytes == 0:
         libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
         libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        # Route Arrow buffers through the tuned glibc pool too: pyarrow's
+        # default jemalloc pool purges freed pages back to the OS on its
+        # own decay schedule, which re-faults them on every batch — the
+        # same first-touch cost the mallopt thresholds avoid for numpy.
+        try:
+            import pyarrow as _pa
+
+            _pa.jemalloc_set_decay_ms(-1)  # never purge jemalloc arenas
+        except Exception:
+            pass
     if warm_bytes <= _initialized_bytes:
         return _initialized_bytes
 
