@@ -67,6 +67,7 @@ def run_decode(
     verify_crc: bool = False,
     n_partitions: int | None = None,
     stripe_filter: tuple[str, object, object] | None = None,
+    cast_to: dict[str, str] | None = None,
 ) -> DataFrame:
     """Decode the streams table back to a DataFrame of the original schema.
 
@@ -76,6 +77,11 @@ def run_decode(
     pruning (SURVEY.md §2.7; ``RecordReaderImpl.evaluatePredicateProto``).
     Note this prunes, it does not filter rows: apply the row predicate on
     the decoded DataFrame as usual (Catalyst handles it).
+
+    ``cast_to={column: spark_type_ddl}`` is the schema-evolution surface
+    (SURVEY.md §2.8): reader-schema conversions are Catalyst ``cast``s
+    applied after decode — the ~35 pairwise ConvertTreeReader readers of
+    the reference collapse into Spark's built-in cast matrix.
     """
     raw = spark.read.parquet(streams_dir)
     if stripe_filter is not None:
@@ -90,7 +96,17 @@ def run_decode(
         schema_ddl = infer_schema_ddl(spark, streams_dir, columns)
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
     fn = _decode_partition_factory(columns, verify_crc)
-    return raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
+    out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
+    if cast_to:
+        out = out.select(
+            *[
+                F.col(f.name).cast(cast_to[f.name]).alias(f.name)
+                if f.name in cast_to
+                else F.col(f.name)
+                for f in out.schema.fields
+            ]
+        )
+    return out
 
 
 def prune_stripes_bloom(

@@ -49,19 +49,39 @@ def with_lang_salted_stripes(
     key: str = "url",
     lang_col: str = "lang",
     target_rows_per_stripe: int = 100_000,
+    weight_cols: list[str] | None = None,
+    target_bytes_per_stripe: int = 128 << 20,
 ) -> tuple[DataFrame, int]:
     """Cluster stripes by language, salting hot languages by url-hash.
 
     Returns (df with stripe column, total stripe count).  The lang→count
     aggregation is a tiny column-pruned scan (~30 groups); the mapping is
     broadcast-joined, never shuffled.
+
+    ``weight_cols`` adds byte-weighted salting: hot languages are split
+    by max(rows/target_rows, bytes/target_bytes), so a language with few
+    but oversized documents (the html-size skew the north rule names)
+    still splits into bounded stripes.
     """
-    counts = df.groupBy(lang_col).count().collect()
-    counts = sorted((r[lang_col], r["count"]) for r in counts)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if weight_cols:
+        w = None
+        for c in weight_cols:
+            e = F.coalesce(F.octet_length(F.col(c)), F.lit(0)).cast("long")
+            w = e if w is None else (w + e)
+        aggs.append(F.sum(w).alias("_bytes"))
+    grouped = df.groupBy(lang_col).agg(*aggs).collect()
+    counts = sorted(
+        (r[lang_col], r["_cnt"], (r["_bytes"] if weight_cols else 0)) for r in grouped
+    )
     base = 0
     rows = []
-    for lang, cnt in counts:
-        n_salts = max(1, math.ceil(cnt / target_rows_per_stripe))
+    for lang, cnt, nbytes in counts:
+        n_salts = max(
+            1,
+            math.ceil(cnt / target_rows_per_stripe),
+            math.ceil(nbytes / target_bytes_per_stripe) if weight_cols else 1,
+        )
         rows.append((lang, base, n_salts))
         base += n_salts
     spark = df.sparkSession

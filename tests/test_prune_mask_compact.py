@@ -155,3 +155,35 @@ def test_compact_merges_without_reencode(spark, pages_path, tmp_path):
     src = df.select("url", "text").toPandas().sort_values("url").reset_index(drop=True)
     got = decoded.select("url", "text").toPandas().sort_values("url").reset_index(drop=True)
     assert src.equals(got)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (reader-schema casts) + size-weighted salting
+# ---------------------------------------------------------------------------
+
+
+def test_decode_with_reader_schema_casts(spark, streams_dir):
+    decoded = decode_job.run_decode(
+        spark, streams_dir, columns=["url", "warc_ts"],
+        cast_to={"warc_ts": "string"},
+    )
+    assert dict(decoded.dtypes)["warc_ts"] == "string"
+    assert decoded.filter(F.col("warc_ts").startswith("2024")).count() > 0
+
+
+def test_size_weighted_salting(spark, pages_path):
+    from sparc.job import partition as pm
+
+    df = spark.read.parquet(pages_path)
+    staged_rows, n_rows_only = pm.with_lang_salted_stripes(
+        df, target_rows_per_stripe=10**9
+    )
+    staged_bytes, n_weighted = pm.with_lang_salted_stripes(
+        df, target_rows_per_stripe=10**9,
+        weight_cols=["html", "text"], target_bytes_per_stripe=1 << 20,
+    )
+    # byte weighting must split hot (big) languages further
+    assert n_weighted > n_rows_only
+    # stripe ids stay dense 0..n-1
+    ids = {r[0] for r in staged_bytes.select(pm.STRIPE_COL).distinct().collect()}
+    assert ids <= set(range(n_weighted))
