@@ -35,7 +35,7 @@ TS_BASE_SECONDS = 1_420_070_400
 DICT_CHECK_ROWS = 10_000  # ROW_INDEX_STRIDE_DICTIONARY_CHECK analog
 FSST_MIN_WIN = 0.90  # pre-codec sample ratio gate (see _encode_binary_like)
 FSST_MAX_AVG_LEN = 4096  # strings only; big blobs go straight to zstd
-FSST_SAMPLE = 1 << 16
+FSST_SAMPLE = 1 << 15
 
 _TS_UNITS = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 

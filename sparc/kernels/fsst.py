@@ -26,7 +26,9 @@ ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
 TRAIN_ITERS = 4
-SAMPLE_TARGET = 1 << 16
+# 32 KiB training sample measured same-or-better post-zstd disk size as
+# 64 KiB on web text/urls at half the training cost
+SAMPLE_TARGET = 1 << 15
 
 _HASH_BITS = 16
 _HASH_SIZE = 1 << _HASH_BITS
@@ -168,6 +170,50 @@ def _find_matches(table: SymbolTable, data: np.ndarray) -> tuple[np.ndarray, np.
 
 
 _SEG = 1 << 17  # compress segment: keeps all matcher temporaries cache-resident
+_WALK_DOUBLING_MIN = 4096  # below this the scalar walk beats vector setup
+
+
+def _walk_segment(
+    seg: np.ndarray, mlen: np.ndarray, mcode: np.ndarray, start_rel: int, end_rel: int
+) -> tuple[bytes, int]:
+    """Vectorized greedy walk over one segment via pointer doubling.
+
+    The greedy parse from ``start_rel`` is the orbit of the functional
+    graph next[i] = i + max(mlen[i], 1); positions >= end_rel are made
+    fixpoints, so the orbit contains exactly one of them — the carry-out
+    into the next segment.  Doubling (S |= g[S]; g = g[g]) yields the
+    full orbit in ceil(log2(path_len)) gather passes, all cache-resident.
+    Returns (encoded bytes, carry-out relative position).
+    """
+    pad = end_rel + MAX_SYMBOL_LEN
+    nxt = np.arange(pad, dtype=np.int32)
+    span = min(end_rel, mlen.size)
+    np.add(nxt[:span], np.maximum(mlen[:span], 1).astype(np.int32), out=nxt[:span])
+    np.minimum(nxt, np.int32(pad - 1), out=nxt)
+    visited = np.zeros(pad, dtype=bool)
+    visited[start_rel] = True
+    steps = 1
+    g = nxt
+    while steps < end_rel - start_rel + 1:
+        idx = np.flatnonzero(visited)
+        visited[g[idx]] = True
+        g = g[g]
+        steps *= 2
+    vis = np.flatnonzero(visited[:end_rel])
+    vis = vis[vis >= start_rel]
+    carry = int(np.flatnonzero(visited[end_rel:])[0]) + end_rel if visited[end_rel:].any() else end_rel
+    # emit: 1 byte per matched token, 2 per escape
+    lens_v = mlen[vis]
+    esc = lens_v == 0
+    out_sz = vis.size + int(esc.sum())
+    outb = np.empty(out_sz, dtype=np.uint8)
+    dst = np.cumsum(np.where(esc, 2, 1))
+    starts = dst - np.where(esc, 2, 1)
+    outb[starts] = np.where(esc, np.uint8(ESCAPE), mcode[vis])
+    if esc.any():
+        e = vis[esc]
+        outb[starts[esc] + 1] = seg[e]
+    return outb.tobytes(), carry
 
 
 def compress(data: bytes, table: SymbolTable) -> bytes:
@@ -177,19 +223,25 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
     crossing the boundary are found) so the ~10 vector passes of the
     matcher hit L2 instead of streaming multi-MB temporaries through DRAM
     — at 32-way parallelism the full-array version is memory-bandwidth
-    bound, not compute bound.  The greedy walk naturally carries across
-    segments: it resumes at whatever position the last match ended."""
+    bound, not compute bound.  The greedy walk carries across segments:
+    it resumes at whatever position the last match ended."""
     n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8)
-    out = bytearray()
-    append = out.append
+    chunks: list[bytes] = []
     pos = 0
     while pos < n:
         end = min(pos + _SEG, n)
         seg = arr[pos : min(end + MAX_SYMBOL_LEN - 1, n)]
         mlen, mcode = _find_matches(table, seg)
+        if end - pos >= _WALK_DOUBLING_MIN:
+            enc, carry = _walk_segment(seg, mlen, mcode, 0, end - pos)
+            chunks.append(enc)
+            pos = pos + carry
+            continue
         lens = mlen.tolist()
         codes = mcode.tolist()
+        out = bytearray()
+        append = out.append
         i = pos
         while i < end:
             ln = lens[i - pos]
@@ -200,8 +252,9 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
                 append(ESCAPE)
                 append(data[i])
                 i += 1
-        pos = i  # may overshoot end when a match crosses the boundary
-    return bytes(out)
+        chunks.append(bytes(out))
+        pos = i
+    return b"".join(chunks)
 
 
 def decompress(enc: bytes, table: SymbolTable) -> bytes:
