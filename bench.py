@@ -76,8 +76,11 @@ def gen_pages_parquet(spark, n_rows: int, path: str, chunk: int = 20_000) -> Non
                 t = pages_mod.generate(min(chunk, n_rows - off), seed=42, row_offset=off)
                 yield from t.to_batches()
 
+    # one chunk per task -> one ~20 MB file per chunk: scan parallelism of
+    # the result matches its file count (a single giant row group caps any
+    # downstream stage at n_files tasks)
     df = spark.createDataFrame([(o,) for o in offsets], "off long").repartition(
-        max(len(offsets) // 2, 1)
+        max(len(offsets), 1)
     )
     out = df.mapInArrow(
         gen, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"

@@ -34,6 +34,15 @@ TS_BASE_SECONDS = 1_420_070_400
 
 DICT_CHECK_ROWS = 10_000  # ROW_INDEX_STRIDE_DICTIONARY_CHECK analog
 FSST_MIN_WIN = 0.90  # pre-codec sample ratio gate (see _encode_binary_like)
+
+
+def _fsst_enabled() -> bool:
+    """SPARC_FSST=0 switches to speed mode: strings go raw+zstd like the
+    reference (which has no FSST), trading ~2% total size for ~2x encode
+    throughput.  The encodingStrategy SPEED/COMPRESSION analog."""
+    import os
+
+    return os.environ.get("SPARC_FSST", "1") != "0"
 FSST_MAX_AVG_LEN = 4096  # strings only; big blobs go straight to zstd
 FSST_SAMPLE = 1 << 15
 
@@ -86,7 +95,7 @@ def _arrow_nonnull_int64(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
 
 
 def encode_column(
-    arr: pa.Array, name: str, codec: str = "zstd"
+    arr: pa.Array, name: str, codec: str = "zstd", fsst: bool | None = None
 ) -> tuple[dict[str, bytes], dict]:
     """Encode one column -> ({stream_kind: bytes}, column footer dict)."""
     if isinstance(arr, pa.ChunkedArray):
@@ -141,7 +150,7 @@ def encode_column(
         meta["encoding"] = "bool"
         meta["stats"] = stats_mod.bool_stats(vals, arr.null_count).to_dict()
     elif _is_binary_like(t):
-        _encode_binary_like(arr, streams, meta, codec)
+        _encode_binary_like(arr, streams, meta, codec, fsst)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         nn = arr.drop_null() if arr.null_count else arr
         counts = nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -191,7 +200,8 @@ def _is_binary_like(t: pa.DataType) -> bool:
 
 
 def _encode_binary_like(
-    arr: pa.Array, streams: dict, meta: dict, codec: str = "zstd"
+    arr: pa.Array, streams: dict, meta: dict, codec: str = "zstd",
+    fsst_opt: bool | None = None,
 ) -> None:
     """String/binary: dict-vs-direct(-vs-FSST) auto-selection by stripe stats.
 
@@ -238,8 +248,9 @@ def _encode_binary_like(
     data_buf = _concat_binary(bin_arr)
     streams["LENGTH"] = rlev2.encode(lengths, signed=False)
     avg_len = float(lengths.mean()) if lengths.size else 0.0
+    fsst_on = _fsst_enabled() if fsst_opt is None else fsst_opt
     use_fsst = False
-    if len(data_buf) >= 4096 and is_str and avg_len <= FSST_MAX_AVG_LEN:
+    if fsst_on and len(data_buf) >= 4096 and is_str and avg_len <= FSST_MAX_AVG_LEN:
         # Decision is on the PRE-block-codec ratio: comparing post-zstd
         # sizes on a small sample is biased against FSST (an FSST'd 256 KiB
         # chunk holds ~2x the original content, which zstd only exploits at
@@ -279,21 +290,25 @@ def encode_stripe(
     batch: pa.RecordBatch | pa.Table,
     codec: str = "zstd",
     bloom_columns: list[str] | None = None,
+    fsst: bool | None = None,
 ) -> tuple[dict[tuple[str, str], bytes], dict]:
     """Encode all columns -> ({(column, kind): bytes}, stripe footer).
 
     ``bloom_columns`` adds a per-stripe BLOOM_FILTER_UTF8 stream for the
     named columns (point-lookup stripe pruning, SURVEY.md §2.6)."""
+    import time
+
     from .. import runtime
 
     runtime.init()
+    t_start = time.perf_counter()
     streams: dict[tuple[str, str], bytes] = {}
     footer = {"n_rows": batch.num_rows, "columns": []}
     for i, name in enumerate(batch.schema.names):
         col = batch.column(i)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        col_streams, col_meta = encode_column(col, name, codec)
+        col_streams, col_meta = encode_column(col, name, codec, fsst)
         if bloom_columns and name in bloom_columns:
             from . import bloom as bloom_mod
 
@@ -307,6 +322,7 @@ def encode_stripe(
         for kind, data in col_streams.items():
             streams[(name, kind)] = data
         footer["columns"].append(col_meta)
+    footer["encode_seconds"] = round(time.perf_counter() - t_start, 4)
     return streams, footer
 
 

@@ -35,6 +35,9 @@ from . import partition as part_mod
 
 STREAMS_SCHEMA = "stripe_id long, column string, kind string, data binary"
 
+# "input" strategy: stripe_id = partition_id * SPACE + local chunk index
+INPUT_SPLIT_SPACE = 1 << 16
+
 _PA_OUT = pa.schema(
     [
         ("stripe_id", pa.int64()),
@@ -50,8 +53,87 @@ def _encode_partition_factory(
     sort_within: list[str] | None,
     fingerprint: str,
     bloom_columns: list[str] | None = None,
+    fsst: bool | None = None,
+    input_split_mode: bool = False,
+    done_stripes: frozenset[int] = frozenset(),
+    rows_per_stripe: int = 0,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
-    """Build the mapInArrow function (no per-row Python anywhere inside)."""
+    """Build the mapInArrow function (no per-row Python anywhere inside).
+
+    ``input_split_mode``: stripes are derived from the input partition id
+    instead of a stripe column — the shuffle-free path (see run_encode).
+    """
+
+    def _emit(sub: pa.Table, sid: int) -> pa.RecordBatch:
+        if sort_within:
+            sub = sub.sort_by([(c, "ascending") for c in sort_within])
+        streams, footer = stripe_mod.encode_stripe(
+            sub, codec=codec, bloom_columns=bloom_columns, fsst=fsst
+        )
+        return _to_batch(streams, footer, sid)
+
+    def _to_batch(streams, footer, sid) -> pa.RecordBatch:
+        crcs = {f"{c}/{k}": zlib.crc32(v) for (c, k), v in streams.items()}
+        footer["crc32"] = crcs
+        footer["stripe_id"] = sid
+        footer["input_fingerprint"] = fingerprint
+        footer["sorted_by"] = sort_within or []
+        cols, kinds, blobs = [], [], []
+        for (cname, kind), data in streams.items():
+            cols.append(cname)
+            kinds.append(kind)
+            blobs.append(data)
+        cols.append("")
+        kinds.append("FOOTER")
+        blobs.append(json.dumps(footer).encode())
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([sid] * len(cols), pa.int64()),
+                pa.array(cols, pa.string()),
+                pa.array(kinds, pa.string()),
+                pa.array(blobs, pa.large_binary()),
+            ],
+            schema=_PA_OUT,
+        )
+
+    def encode_input_partition(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        # Incremental: emit each stripe as soon as rows_per_stripe rows
+        # have arrived — the worker's resident set stays one stripe, not
+        # one whole input partition (large per-worker footprints are
+        # first-touch-fault poison on fault-slow hosts, and at real scale
+        # an input split can exceed executor memory anyway).
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid * INPUT_SPLIT_SPACE
+        per = rows_per_stripe or (1 << 62)
+        local = 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush(table: pa.Table, sid: int):
+            if sid in done_stripes:
+                return None
+            return _emit(table, sid)
+
+        for b in batches:
+            buf.append(b)
+            buffered += b.num_rows
+            while buffered >= per:
+                table = pa.Table.from_batches(buf)
+                out = flush(table.slice(0, per), base + local)
+                local += 1
+                rest = table.slice(per)
+                buf = rest.to_batches(max_chunksize=1 << 20) if rest.num_rows else []
+                buffered = rest.num_rows
+                if out is not None:
+                    yield out
+        if buffered:
+            out = flush(pa.Table.from_batches(buf), base + local)
+            if out is not None:
+                yield out
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         collected = list(batches)
@@ -63,36 +145,9 @@ def _encode_partition_factory(
         for sid in pa.compute.unique(stripe_ids).to_pylist():
             sub = table.filter(pa.compute.equal(stripe_ids, sid))
             sub = sub.drop_columns([part_mod.STRIPE_COL])
-            if sort_within:
-                sub = sub.sort_by([(c, "ascending") for c in sort_within])
-            streams, footer = stripe_mod.encode_stripe(
-                sub, codec=codec, bloom_columns=bloom_columns
-            )
-            # per-stream crc32 into the footer (integrity for resume/decode)
-            crcs = {f"{c}/{k}": zlib.crc32(v) for (c, k), v in streams.items()}
-            footer["crc32"] = crcs
-            footer["stripe_id"] = sid
-            footer["input_fingerprint"] = fingerprint
-            footer["sorted_by"] = sort_within or []
-            cols, kinds, blobs = [], [], []
-            for (cname, kind), data in streams.items():
-                cols.append(cname)
-                kinds.append(kind)
-                blobs.append(data)
-            cols.append("")
-            kinds.append("FOOTER")
-            blobs.append(json.dumps(footer).encode())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([sid] * len(cols), pa.int64()),
-                    pa.array(cols, pa.string()),
-                    pa.array(kinds, pa.string()),
-                    pa.array(blobs, pa.large_binary()),
-                ],
-                schema=_PA_OUT,
-            )
+            yield _emit(sub, sid)
 
-    return encode_partition
+    return encode_input_partition if input_split_mode else encode_partition
 
 
 def completed_stripes(spark: SparkSession, out_dir: str) -> list[int]:
@@ -122,9 +177,30 @@ def run_encode(
     fingerprint: str = "",
     n_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
+    fsst: bool | None = None,
 ) -> dict:
-    """Run (or resume) the encode job.  Returns a summary dict."""
+    """Run (or resume) the encode job.  Returns a summary dict.
+
+    Strategies:
+    - ``hash``: stripe = xxhash64(key) % n — content-addressed, needs one
+      full shuffle (the default; what the north rule describes).
+    - ``lang_salted``: lang-clustered with salting for skew (one shuffle).
+    - ``input``: stripe = (input partition, local chunk) — shuffle-free;
+      deterministic and resumable for a fixed input snapshot + reader
+      conf.  The fast path when stripe/content affinity is not required:
+      at cluster scale it removes the full-table shuffle entirely.
+    """
     spark = df.sparkSession
+
+    if strategy == "input":
+        done = frozenset(completed_stripes(spark, out_dir)) if resume else frozenset()
+        fn = _encode_partition_factory(
+            codec, sort_within, fingerprint, bloom_columns, fsst,
+            input_split_mode=True, done_stripes=done,
+            rows_per_stripe=target_rows_per_stripe,
+        )
+        df.mapInArrow(fn, schema=STREAMS_SCHEMA).write.mode("append").parquet(out_dir)
+        return {"n_stripes": None, "skipped": len(done), "out_dir": out_dir}
 
     if strategy == "lang_salted":
         staged, total = part_mod.with_lang_salted_stripes(
@@ -146,7 +222,7 @@ def run_encode(
             staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
 
     parts = n_partitions or n_stripes
-    fn = _encode_partition_factory(codec, sort_within, fingerprint, bloom_columns)
+    fn = _encode_partition_factory(codec, sort_within, fingerprint, bloom_columns, fsst)
     out = (
         staged.repartition(parts, F.col(part_mod.STRIPE_COL))
         .mapInArrow(fn, schema=STREAMS_SCHEMA)

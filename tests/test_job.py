@@ -110,3 +110,21 @@ def test_metrics_lineage(spark, pages_path, tmp_path):
 def test_stripe_count_estimator():
     assert partition.pick_stripe_count(10**6, 10 << 30) == (10 << 30) // (128 << 20)
     assert partition.pick_stripe_count(100, 100) == 1
+
+
+def test_input_split_strategy(spark, pages_path, tmp_path):
+    """Shuffle-free 'input' strategy: stripe = input split; round-trip +
+    resume skip, like the hash strategy but without co-location."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "input_streams")
+    encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500, resume=False
+    )
+    _compare_roundtrip(spark, df, out)
+    done = set(encode_job.completed_stripes(spark, out))
+    assert done
+    r2 = encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500, resume=True
+    )
+    assert r2["skipped"] == len(done)
+    assert set(encode_job.completed_stripes(spark, out)) == done
