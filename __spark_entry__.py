@@ -486,12 +486,44 @@ def _stripe_prune_documents(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
+    """Scalar metadata surface of the multimodal plumbing (value-checked);
+    the array<float> feature column lives in extract_features and is
+    exercised by multimodal_feature_fp below + pytest."""
     from sparc.ops import multimodal
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return multimodal.extract_features(docs, id_col="doc_id", payload_col="payload")
+    return multimodal.extract_metadata(docs, id_col="doc_id", payload_col="payload")
+
+
+_MULTIMODAL_SQL = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(nb AS BIGINT) AS n_bytes,
+       lower(substring(hx, 1, LEAST(nb, 8) * 2)) AS header,
+       CAST(CASE WHEN nb = 0 THEN 0
+            ELSE 64 + CAST(('0x' || substring(hx, 1, 2)) AS INT) % 64 END AS INT)
+         AS fake_width,
+       CAST(CASE WHEN nb = 0 THEN 0
+            ELSE 64 + CAST(('0x' || substring(hx, 2 * nb - 1, 2)) AS INT) % 64 END AS INT)
+         AS fake_height
+FROM p
+"""
+
+
+def _multimodal_feature_fp(spark, sf_dir):
+    """Full feature path (stubbed decode → 8-dim vector) distributed via
+    mapInArrow; emits the deterministic int64 fingerprint per doc."""
+    from sparc.ops import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = multimodal.extract_features(docs, id_col="doc_id", payload_col="payload")
+    return feats.select("id", "feat_fp")
 
 
 # ---------------------------------------------------------------------------
@@ -530,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "embedding_dups": _embedding_dups,
         "multimodal_features": _multimodal_features,
+        "multimodal_feature_fp": _multimodal_feature_fp,
         # masking + pruning surfaces
         "mask_redact": _mask_redact,
         "mask_sha256": _mask_sha256,
@@ -556,7 +589,8 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_topk": _SIMSEARCH_SQL,
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         # rows-only (non-SQL-expressible: xxhash64-based or by-design approximate):
         # encode_metrics_documents, minhash_lsh_candidates, simhash, lsh_topk,
-        # embedding_dups, multimodal_features, stripe_prune_documents
+        # embedding_dups, multimodal_feature_fp, stripe_prune_documents
     }

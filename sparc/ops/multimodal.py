@@ -3,12 +3,15 @@
 Images/audio/video travel as ``binary`` columns.  The Spark-side plumbing
 (schema, Arrow batch shape, partition sizing) is real and tested; the
 actual media decode is STUBBED — this container has no image/audio
-libraries — behind ``_decode_media_stub``, a deterministic fake clearly
-marked as such.  Swap the stub for PIL/ffmpeg calls on a real cluster;
-nothing else changes.
+libraries — behind ``_stub_features``, a deterministic fake clearly
+marked as such.  Swap the numpy stub for PIL/ffmpeg batch decode on a
+real cluster; nothing else changes.
 
-Pattern: ``mapInPandas`` with Arrow batches so payload bytes cross into
-Python once per batch (vectorized), never per row.
+Pattern: ``mapInArrow`` so payload bytes stay in Arrow buffers and every
+derived quantity (lengths, header hex, fake dimensions, feature matrix)
+is computed with numpy over the whole batch — no per-row Python anywhere
+(the engine contract; mirrors the reference's everything-is-vectorized
+discipline, SURVEY.md §1.3).
 """
 
 from __future__ import annotations
@@ -16,55 +19,155 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
     "id long, n_bytes long, header string, fake_width int, fake_height int, "
-    "feature array<float>"
+    "feat_fp long, feature array<float>"
 )
 
+META_SCHEMA = "id long, n_bytes long, header string, fake_width int, fake_height int"
 
-def _decode_media_stub(payload: bytes | None) -> tuple[str, int, int, list[float]]:
-    """STUB media decode: deterministic fake.
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_FP_WEIGHTS = (
+    np.arange(1, 9, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+)  # golden-ratio mix constants for the feature fingerprint
 
-    Real implementation would be e.g. PIL.Image.open(BytesIO(payload)).
-    The fake derives stable pseudo-metadata from the payload bytes so
-    tests are deterministic and the full pipeline shape is exercised.
-    """
-    if payload is None or len(payload) == 0:
-        return "", 0, 0, [0.0] * 8
-    header = payload[:8].hex()
-    w = 64 + payload[0] % 64
-    h = 64 + payload[-1] % 64
-    arr = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
-    feat = (arr.reshape(8, 32).mean(axis=1) / 255.0).astype(np.float32)
-    return header, int(w), int(h), feat.tolist()
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data bytes, per-row start offsets, per-row lengths) of a binary
+    array; null rows get length 0."""
+    arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        # fill_null keeps offsets monotone with 0-length slots for nulls
+        arr = arr.fill_null(b"")
+    buffers = arr.buffers()
+    offsets = np.frombuffer(
+        buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8
+    )
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8)
+        if buffers[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    starts = offsets[:-1].astype(np.int64)
+    lens = np.diff(offsets).astype(np.int64)
+    return data, starts, lens
+
+
+def _padded_matrix(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) uint8 matrix of each row's first ``width`` bytes,
+    zero-padded, plus the per-row valid byte count.  One gather, no loop."""
+    n = starts.size
+    m = np.minimum(lens, width)
+    cols = np.arange(width, dtype=np.int64)[None, :]
+    mask = cols < m[:, None]
+    idx = np.where(mask, starts[:, None] + cols, 0)
+    out = np.zeros((n, width), dtype=np.uint8)
+    if data.size:
+        out = np.where(mask, data[idx], np.uint8(0))
+    return out, m
+
+
+def _hex_strings(mat: np.ndarray, nbytes: np.ndarray) -> pa.Array:
+    """Lowercase hex of each row's first ``nbytes[i]`` bytes of ``mat``."""
+    n, w = mat.shape
+    chars = np.empty((n, 2 * w), dtype=np.uint8)
+    chars[:, 0::2] = _HEX[mat >> 4]
+    chars[:, 1::2] = _HEX[mat & 15]
+    str_lens = 2 * nbytes
+    keep = np.arange(2 * w, dtype=np.int64)[None, :] < str_lens[:, None]
+    values = chars[keep]  # row-major → in-order concatenation
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(str_lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
+def _stub_features(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """STUB media decode, batch-vectorized: (header hex, width, height,
+    feature (n,8) float32).  A real build swaps this one function for a
+    batch image/audio decoder; callers never see the difference."""
+    n = starts.size
+    nonempty = lens > 0
+    first = np.zeros(n, dtype=np.int64)
+    last = np.zeros(n, dtype=np.int64)
+    if data.size:
+        first[nonempty] = data[starts[nonempty]]
+        last[nonempty] = data[starts[nonempty] + lens[nonempty] - 1]
+    width = np.where(nonempty, 64 + first % 64, 0).astype(np.int32)
+    height = np.where(nonempty, 64 + last % 64, 0).astype(np.int32)
+    hdr_mat, hdr_n = _padded_matrix(data, starts, lens, 8)
+    header = _hex_strings(hdr_mat, hdr_n)
+    body, _ = _padded_matrix(data, starts, lens, 256)
+    feat = (body.reshape(n, 8, 32).mean(axis=2) / 255.0).astype(np.float32)
+    return header, width, height, feat
+
+
+def _feature_fp(feat: np.ndarray) -> np.ndarray:
+    """Deterministic int64 fingerprint of each feature row (canonicalizable
+    stand-in for the raw vector in value-checked outputs)."""
+    q = np.round(feat.astype(np.float64), 6)
+    scaled = (q * 1e6).astype(np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = (scaled * _FP_WEIGHTS[None, :]).sum(axis=1, dtype=np.uint64)
+    return mixed.astype(np.int64)
+
+
+def _run_factory(id_col: str, payload_col: str, with_feature: bool):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col)).cast(pa.int64())
+            payload = b.column(b.schema.get_field_index(payload_col))
+            data, starts, lens = _binary_parts(payload)
+            header, width, height, feat = _stub_features(data, starts, lens)
+            arrays = [
+                ids,
+                pa.array(lens, pa.int64()),
+                header,
+                pa.array(width, pa.int32()),
+                pa.array(height, pa.int32()),
+            ]
+            names = ["id", "n_bytes", "header", "fake_width", "fake_height"]
+            if with_feature:
+                arrays.append(pa.array(_feature_fp(feat), pa.int64()))
+                flat = pa.array(feat.ravel(), pa.float32())
+                offsets = pa.array(
+                    np.arange(0, (len(ids) + 1) * 8, 8, dtype=np.int32), pa.int32()
+                )
+                arrays.append(pa.ListArray.from_arrays(offsets, flat))
+                names += ["feat_fp", "feature"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return run
 
 
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Binary payload → metadata + feature vector, Arrow-batched."""
+    """Binary payload → metadata + feature vector + fingerprint.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                header, w, h, feat = _decode_media_stub(payload)
-                rows.append(
-                    (
-                        i,
-                        len(payload) if payload is not None else 0,
-                        header,
-                        w,
-                        h,
-                        feat,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["id", "n_bytes", "header", "fake_width", "fake_height", "feature"],
-            )
+    Full API: keeps the ``array<float>`` feature column (for downstream
+    similarity ops) plus ``feat_fp``, a deterministic int64 fingerprint
+    usable wherever sorted/hashed canonical output is required."""
+    return df.mapInArrow(
+        _run_factory(id_col, payload_col, with_feature=True), schema=FEATURE_SCHEMA
+    )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+def extract_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Scalar-only metadata surface (n_bytes, header hex, fake dims) —
+    every column is SQL-mirrorable, so this is the value-checked query
+    surface; the feature vector lives in :func:`extract_features`."""
+    return df.mapInArrow(
+        _run_factory(id_col, payload_col, with_feature=False), schema=META_SCHEMA
+    )
