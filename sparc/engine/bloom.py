@@ -10,7 +10,13 @@ filter is engine-internal (written and probed only by this engine), so
 hash-function parity with ORC is not required — the *pruning contract*
 (no false negatives, ~FPP false positives) is what is reproduced.
 
-Stream layout: ``<u32 m_bits><u8 k><packed bits little-endian>``.
+The build-side pandas dtype is recorded in the header and probes are cast
+to it before hashing: ``hash_pandas_object`` hashes int64 5 and float64
+5.0 differently, so an uncast probe could produce a silent false negative
+— the one failure mode the contract forbids.
+
+Stream layout: ``<u32 m_bits><u8 k><u8 dtype_len><dtype utf-8><packed
+bits little-endian>``.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 DEFAULT_FPP = 0.01  # orc.bloom.filter.fpp default
-_HEADER = struct.Struct("<IB")
+_HEADER = struct.Struct("<IBB")
 _KEY1 = "sparc-bloom-hash-key-0123456789a"[:16]
 _KEY2 = "sparc-bloom-hash-key-abcdef01234"[:16]
 
@@ -44,27 +50,36 @@ def optimal_params(n: int, fpp: float = DEFAULT_FPP) -> tuple[int, int]:
 def build(values: pd.Series, fpp: float = DEFAULT_FPP) -> bytes:
     """Build a serialized bloom filter over non-null values."""
     m, k = optimal_params(len(values), fpp)
+    dtype = str(values.dtype).encode()
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     if len(values):
         h1, h2 = _hashes(values)
         um = np.uint64(m)
-        for i in range(k):
-            idx = (h1 + np.uint64(i) * h2) % um
-            np.bitwise_or.at(
-                bits, (idx // np.uint64(8)).astype(np.int64),
-                np.uint8(1) << (idx % np.uint64(8)).astype(np.uint8),
-            )
-    return _HEADER.pack(m, k) + bits.tobytes()
+        with np.errstate(over="ignore"):  # uint64 wraparound is intended
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % um
+                np.bitwise_or.at(
+                    bits, (idx // np.uint64(8)).astype(np.int64),
+                    np.uint8(1) << (idx % np.uint64(8)).astype(np.uint8),
+                )
+    return _HEADER.pack(m, k, len(dtype)) + dtype + bits.tobytes()
 
 
 def might_contain(blob: bytes, value) -> bool:
     """Probe; False means the value is definitely absent from the stripe."""
-    m, k = _HEADER.unpack_from(blob, 0)
-    bits = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
-    h1, h2 = _hashes(pd.Series([value]))
+    m, k, dlen = _HEADER.unpack_from(blob, 0)
+    dtype = blob[_HEADER.size : _HEADER.size + dlen].decode()
+    bits = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size + dlen)
+    probe = pd.Series([value])
+    if str(probe.dtype) != dtype:
+        try:
+            probe = probe.astype(dtype)
+        except (ValueError, TypeError):
+            return True  # cannot represent in the built dtype: cannot skip
+    h1, h2 = _hashes(probe)
     um = np.uint64(m)
-    for i in range(k):
-        idx = int((h1[0] + np.uint64(i) * h2[0]) % um)
-        if not (bits[idx // 8] >> (idx % 8)) & 1:
-            return False
-    return True
+    with np.errstate(over="ignore"):
+        idx = (h1[0] + np.arange(k, dtype=np.uint64) * h2[0]) % um
+    idx = idx.astype(np.int64)
+    hit = (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1
+    return bool(hit.all())

@@ -122,6 +122,11 @@ def _encode_partition_factory(
             buf.append(b)
             buffered += b.num_rows
             while buffered >= per:
+                if local >= INPUT_SPLIT_SPACE:
+                    raise ValueError(
+                        f"input partition {pid} exceeds {INPUT_SPLIT_SPACE} stripes; "
+                        "raise target_rows_per_stripe or split the input"
+                    )
                 table = pa.Table.from_batches(buf)
                 out = flush(table.slice(0, per), base + local)
                 local += 1
@@ -150,16 +155,26 @@ def _encode_partition_factory(
     return encode_input_partition if input_split_mode else encode_partition
 
 
-def completed_stripes(spark: SparkSession, out_dir: str) -> list[int]:
-    """Stripe ids whose FOOTER row is committed (= resumable checkpoint)."""
+def completed_stripes(
+    spark: SparkSession, out_dir: str, fingerprint: str | None = None
+) -> list[int]:
+    """Stripe ids whose FOOTER row is committed (= resumable checkpoint).
+
+    With ``fingerprint``, only stripes encoded from the same input
+    fingerprint count as done — a changed input snapshot/reader conf must
+    not silently reuse stripe ids for different content ("input" strategy
+    ids are positional, so this check is what makes its resume safe)."""
     try:
         df = spark.read.parquet(out_dir)
     except Exception:
         return []
-    return [
-        r[0]
-        for r in df.filter(F.col("kind") == "FOOTER").select("stripe_id").distinct().collect()
-    ]
+    footers = df.filter(F.col("kind") == "FOOTER")
+    if fingerprint is not None:
+        footers = footers.filter(
+            F.get_json_object(F.col("data").cast("string"), "$.input_fingerprint")
+            == fingerprint
+        )
+    return [r[0] for r in footers.select("stripe_id").distinct().collect()]
 
 
 def run_encode(
@@ -193,7 +208,11 @@ def run_encode(
     spark = df.sparkSession
 
     if strategy == "input":
-        done = frozenset(completed_stripes(spark, out_dir)) if resume else frozenset()
+        done = (
+            frozenset(completed_stripes(spark, out_dir, fingerprint=fingerprint))
+            if resume
+            else frozenset()
+        )
         fn = _encode_partition_factory(
             codec, sort_within, fingerprint, bloom_columns, fsst,
             input_split_mode=True, done_stripes=done,

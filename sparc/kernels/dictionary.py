@@ -27,26 +27,23 @@ def encode_sorted(values: pa.Array | np.ndarray) -> tuple[np.ndarray, list[bytes
 
     Sort order is raw-byte lexicographic (UTF-8 bytes, not codepoints) —
     the DICTIONARY_V2 spec's order.  ``values`` must be non-null binary/str.
+    Hash-unique and sort both run in Arrow C kernels (Arrow sorts binary
+    by memcmp, matching Python bytes order), so a high-cardinality column
+    crossing the 0.8 threshold stays off the interpreter.
     """
-    if isinstance(values, pa.Array) or isinstance(values, pa.ChunkedArray):
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
         arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
-        pd_vals = arr.to_pandas()
     else:
-        pd_vals = pd.Series(values)
-    codes, uniques = pd.factorize(pd_vals, sort=False)
-    uniq_bytes = [u if isinstance(u, bytes) else str(u).encode("utf-8") for u in uniques]
-    order = _byte_argsort(uniq_bytes)
-    rank = np.empty(len(uniq_bytes), dtype=np.int64)
-    rank[order] = np.arange(len(uniq_bytes))
-    sorted_uniques = [uniq_bytes[i] for i in order]
-    return rank[codes].astype(np.int64), sorted_uniques
-
-
-def _byte_argsort(items: list[bytes]) -> np.ndarray:
-    """Argsort by raw bytes (Python's bytes comparison is memcmp order)."""
-    return np.array(
-        sorted(range(len(items)), key=items.__getitem__), dtype=np.int64
-    )
+        arr = pa.array(pd.Series(values))
+    arr = arr.cast(pa.large_binary())
+    denc = arr.dictionary_encode()
+    uniq = denc.dictionary
+    order = pa.compute.sort_indices(uniq).to_numpy().astype(np.int64)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sorted_uniques = uniq.take(pa.array(order)).to_pylist()
+    return rank[codes], sorted_uniques
 
 
 def decode(codes: np.ndarray, uniques: list[bytes]) -> list[bytes]:

@@ -9,13 +9,17 @@ Design: ``readStream`` on the landing directory -> ``foreachBatch``.
 Each micro-batch runs the SAME batch encode job (stripe assignment,
 kernels, metrics) with batch-scoped stripe ids, so:
 
-- exactly-once per micro-batch: Spark's streaming checkpoint tracks which
-  input files were consumed; within a batch, stripe FOOTER rows commit
-  atomically with their streams (one parquet task commit);
+- effectively-once per micro-batch: Spark's streaming checkpoint tracks
+  which input files were consumed (no input replayed across committed
+  batches), and within a batch each stripe's FOOTER row commits
+  atomically with its streams (one parquet task commit).  foreachBatch
+  itself is at-least-once on failure, so ``encode_batch`` anti-joins the
+  batch's planned stripes against already-committed FOOTERs for the same
+  batch id before encoding — a retried batch re-encodes only the stripes
+  whose commit did not land, and never appends duplicates of those that
+  did;
 - the streams table stays decodable at any time — decode/pruning/compact
-  work on it unchanged;
-- a crashed batch resumes via the engine's own FOOTER anti-join on top of
-  the streaming checkpoint (belt and braces).
+  work on it unchanged.
 
 Stripe ids are namespaced per batch: stripe_id = batch_id * STRIPE_SPACE
 + local_id, so ids never collide across micro-batches and lineage records
@@ -67,6 +71,16 @@ def start_ingest(
             part_mod.STRIPE_COL,
             (F.col(part_mod.STRIPE_COL) + F.lit(batch_id * STRIPE_SPACE)).cast("long"),
         )
+        # at-least-once guard: a retried batch skips stripes whose FOOTER
+        # already committed under this batch's id namespace
+        lo, hi = batch_id * STRIPE_SPACE, (batch_id + 1) * STRIPE_SPACE
+        done = [
+            s
+            for s in encode_job.completed_stripes(spark, out_dir)
+            if lo <= s < hi
+        ]
+        if done:
+            staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
         fn = encode_job._encode_partition_factory(
             codec, None, f"stream-batch-{batch_id}", bloom_columns
         )

@@ -91,6 +91,32 @@ def test_bloom_roundtrip_no_false_negatives():
     assert fp < 50  # ~1% FPP target, generous bound
 
 
+def test_bloom_probe_dtype_mismatch_no_false_negative():
+    """Probing a float64-built filter with a Python int must still hit:
+    the header records the build dtype and the probe is cast to it."""
+    vals = pd.Series([float(i) for i in range(1000)])
+    blob = bloom.build(vals)
+    assert bloom.might_contain(blob, 5)       # int probe vs float64 build
+    assert bloom.might_contain(blob, 5.0)
+    ints = pd.Series(list(range(1000)))
+    blob2 = bloom.build(ints)
+    assert bloom.might_contain(blob2, 7.0)    # float probe vs int64 build
+    # un-castable probe degrades to "cannot skip", never a false negative
+    assert bloom.might_contain(blob2, "not-a-number")
+
+
+def test_bloom_probe_emits_no_runtime_warnings():
+    import warnings
+
+    vals = pd.Series([f"k{i}" for i in range(100)])
+    blob = bloom.build(vals)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        bloom.build(vals)
+        for i in range(50):
+            bloom.might_contain(blob, f"k{i}")
+
+
 def test_bloom_prunes_stripes(spark, pages_path, streams_dir):
     df = spark.read.parquet(pages_path)
     probe = df.select("url").first()[0]
