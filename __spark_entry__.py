@@ -479,9 +479,26 @@ def _stripe_prune_documents(spark, sf_dir):
     kept_bloom_absent = len(
         decode_job.prune_stripes_bloom(spark, out, "lang", "zz-not-a-lang")
     )
+    # composite SearchArgument tree (AND/OR/NOT + IN/BETWEEN) evaluated
+    # distributively over the footer metadata
+    kept_composite = decode_job.prune_stripes_df(
+        spark,
+        out,
+        (
+            "and",
+            ("between", "doc_id", 0, 10),
+            ("not", ("is_null", "lang")),
+            ("or", ("in", "lang", ["zz-nope"]), (">=", "doc_id", 0)),
+        ),
+    ).count()
+    kept_impossible = decode_job.prune_stripes_df(
+        spark, out, ("and", ("<", "doc_id", 0), (">", "doc_id", 10**9))
+    ).count()
     return spark.createDataFrame(
-        [(total, kept_stats, kept_bloom, kept_bloom_absent)],
-        "n_stripes long, kept_stats long, kept_bloom long, kept_bloom_absent long",
+        [(total, kept_stats, kept_bloom, kept_bloom_absent, kept_composite,
+          kept_impossible)],
+        "n_stripes long, kept_stats long, kept_bloom long, kept_bloom_absent long, "
+        "kept_composite long, kept_impossible long",
     )
 
 

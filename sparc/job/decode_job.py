@@ -18,6 +18,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine import stripe as stripe_mod
+from .encode_job import STREAMS_SCHEMA
 
 
 def _decode_partition_factory(columns: list[str] | None, verify_crc: bool):
@@ -71,23 +72,30 @@ def run_decode(
 ) -> DataFrame:
     """Decode the streams table back to a DataFrame of the original schema.
 
-    ``stripe_filter=(column, lo, hi)`` prunes whole stripes whose footer
-    min/max range does not intersect [lo, hi] BEFORE the shuffle — the
+    ``stripe_filter`` prunes whole stripes BEFORE the shuffle — the
     engine-side analog of the reference's stripe-level SearchArgument
     pruning (SURVEY.md §2.7; ``RecordReaderImpl.evaluatePredicateProto``).
-    Note this prunes, it does not filter rows: apply the row predicate on
-    the decoded DataFrame as usual (Catalyst handles it).
+    It accepts either the legacy ``(column, lo, hi)`` range tuple or a
+    full composite predicate tree (see ``sparc.engine.sarg``):
+    ``("and", ("between", "ts", a, b), ("not", ("is_null", "url")))``.
+    Evaluation runs in executors over the footer metadata rows and the
+    kept-stripe set reaches the scan via a broadcast semi-join — no
+    driver-side collect anywhere on the read path.  Note this prunes, it
+    does not filter rows: apply the row predicate on the decoded
+    DataFrame as usual (Catalyst handles it).
 
     ``cast_to={column: spark_type_ddl}`` is the schema-evolution surface
     (SURVEY.md §2.8): reader-schema conversions are Catalyst ``cast``s
     applied after decode — the ~35 pairwise ConvertTreeReader readers of
     the reference collapse into Spark's built-in cast matrix.
     """
-    raw = spark.read.parquet(streams_dir)
+    raw = read_streams(spark, streams_dir)
     if stripe_filter is not None:
-        col, lo, hi = stripe_filter
-        keep = prune_stripes(spark, streams_dir, col, lo, hi)
-        raw = raw.filter(F.col("stripe_id").isin(keep))
+        pred = _as_predicate(stripe_filter)
+        keep = prune_stripes_df(spark, streams_dir, pred)
+        # broadcast semi-join: the kept-stripe set is planner-scale metadata,
+        # so pruning never shuffles the streams table itself
+        raw = raw.join(F.broadcast(keep), "stripe_id", "left_semi")
     if columns:
         raw = raw.filter(
             F.col("column").isin(list(columns) + [""])  # keep FOOTER rows
@@ -109,95 +117,140 @@ def run_decode(
     return out
 
 
-def prune_stripes_bloom(
-    spark: SparkSession, streams_dir: str, column: str, value
-) -> list[int]:
-    """Stripe ids that *might* contain ``value`` in ``column``, per the
-    per-stripe bloom streams (BLOOM_FILTER_UTF8; no false negatives).
-    Stripes without a bloom stream for the column are kept."""
-    from ..engine import bloom as bloom_mod
+def read_streams(spark: SparkSession, streams_dir: str) -> DataFrame:
+    """Read the streams table with its static schema (no inference job:
+    plan construction stays fully lazy)."""
+    return spark.read.schema(STREAMS_SCHEMA).parquet(streams_dir)
 
-    blooms = {
-        r["stripe_id"]: bytes(r["data"])
-        for r in (
-            spark.read.parquet(streams_dir)
-            .filter((F.col("kind") == "BLOOM_FILTER_UTF8") & (F.col("column") == column))
-            .select("stripe_id", "data")
-            .collect()
-        )
-    }
-    all_ids = [
-        r[0]
-        for r in spark.read.parquet(streams_dir)
+
+def _as_predicate(stripe_filter) -> tuple:
+    """Accept a sarg tree or the legacy (column, lo, hi) range tuple."""
+    from ..engine import sarg as sarg_mod
+
+    ops = {"and", "or", "not", "=", "<", "<=", ">", ">=", "in", "between", "is_null"}
+    if stripe_filter and stripe_filter[0] in ops:
+        return tuple(stripe_filter)
+    col, lo, hi = stripe_filter
+    return sarg_mod.from_range(col, lo, hi)
+
+
+def footers_df(spark: SparkSession, streams_dir: str) -> DataFrame:
+    """The per-stripe metadata table: (stripe_id, footer JSON string).
+
+    This is the engine's stripe directory (what ``ReaderImpl`` reads from
+    the file tail) as a first-class DataFrame — every planning operation
+    (stats pruning, bloom probing, schema inference, resume) joins
+    against it instead of collecting footers to the driver."""
+    return (
+        read_streams(spark, streams_dir)
         .filter(F.col("kind") == "FOOTER")
-        .select("stripe_id")
-        .distinct()
-        .collect()
-    ]
-    return sorted(
-        sid
-        for sid in all_ids
-        if sid not in blooms or bloom_mod.might_contain(blooms[sid], value)
+        .select("stripe_id", F.col("data").cast("string").alias("footer"))
     )
 
 
-def stripe_column_stats(spark: SparkSession, streams_dir: str) -> list[dict]:
-    """[{stripe_id, column, kind, min, max, n_nulls, n_values}, ...] parsed
-    from the stripe footers.
+def prune_stripes_df(
+    spark: SparkSession, streams_dir: str, predicate: tuple
+) -> DataFrame:
+    """Stripe ids that may contain rows matching ``predicate`` (a
+    ``sparc.engine.sarg`` tree), as a DataFrame — evaluated in executors
+    over the footer rows (tri-state: stripes whose stats cannot refute
+    the predicate are kept)."""
+    footers = footers_df(spark, streams_dir)
 
-    Footers are planner-scale metadata (one per stripe, like the
-    reference's stripe directory read by ``ReaderImpl``); at 10^12-row
-    scale this collect is a ~GB metrics-table scan and should become a
-    DataFrame join — the pruning contract is unchanged.
-    """
-    rows = (
-        spark.read.parquet(streams_dir)
-        .filter(F.col("kind") == "FOOTER")
-        .select("stripe_id", "data")
-        .collect()
-    )
-    out = []
-    for sid, blob in rows:
-        footer = json.loads(bytes(blob).decode())
-        for c in footer["columns"]:
-            st = c.get("stats") or {}
-            out.append(
-                {
-                    "stripe_id": sid,
-                    "column": c["name"],
-                    "kind": st.get("kind"),
-                    "min": st.get("min"),
-                    "max": st.get("max"),
-                    "n_nulls": c.get("n_nulls", 0),
-                    "n_values": st.get("n_values", c.get("n_rows", 0)),
+    def eval_part(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ..engine import sarg as sarg_mod
+
+        for pdf in pdfs:
+            keeps = []
+            # one JSON parse + tree walk per stripe: planner-scale metadata
+            # work, mirroring the reference's per-stripe footer evaluation
+            for blob in pdf["footer"]:
+                footer = json.loads(blob)
+                col_stats = {
+                    c["name"]: c.get("stats")
+                    for c in footer["columns"]
+                    if c.get("stats") is not None
                 }
-            )
-    return out
+                keeps.append(sarg_mod.keep(predicate, col_stats))
+            yield pdf.loc[keeps, ["stripe_id"]]
+
+    return footers.mapInPandas(eval_part, "stripe_id long")
+
+
+def prune_stripes_bloom_df(
+    spark: SparkSession, streams_dir: str, column: str, value
+) -> DataFrame:
+    """Stripe ids that *might* contain ``value`` in ``column``, probed
+    against the per-stripe bloom streams IN EXECUTORS (bloom blobs never
+    reach the driver).  Stripes without a bloom stream are kept."""
+    blooms = (
+        read_streams(spark, streams_dir)
+        .filter((F.col("kind") == "BLOOM_FILTER_UTF8") & (F.col("column") == column))
+        .select("stripe_id", "data")
+    )
+
+    def probe(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ..engine import bloom as bloom_mod
+
+        for pdf in pdfs:
+            miss = [
+                not bloom_mod.might_contain(bytes(b), value) for b in pdf["data"]
+            ]
+            yield pdf.loc[miss, ["stripe_id"]]
+
+    misses = blooms.mapInPandas(probe, "stripe_id long")
+    all_ids = footers_df(spark, streams_dir).select("stripe_id")
+    return all_ids.join(F.broadcast(misses), "stripe_id", "left_anti")
+
+
+def stripe_stats_df(spark: SparkSession, streams_dir: str) -> DataFrame:
+    """Exploded per-(stripe, column) statistics as a DataFrame:
+    (stripe_id, column, kind, min, max, n_nulls, n_values) — min/max as
+    strings (the JSON representation; numeric consumers cast)."""
+    footers = footers_df(spark, streams_dir)
+    cols = F.from_json(
+        "footer",
+        "columns array<struct<name:string, n_nulls:long, "
+        "stats:struct<kind:string, n_values:long, n_nulls:long, "
+        "min:string, max:string>>>",
+    ).getField("columns")
+    exploded = footers.select("stripe_id", F.explode(cols).alias("c"))
+    return exploded.select(
+        "stripe_id",
+        F.col("c.name").alias("column"),
+        F.col("c.stats.kind").alias("kind"),
+        F.col("c.stats.min").alias("min"),
+        F.col("c.stats.max").alias("max"),
+        F.coalesce(F.col("c.stats.n_nulls"), F.col("c.n_nulls")).alias("n_nulls"),
+        F.col("c.stats.n_values").alias("n_values"),
+    )
+
+
+# -- list-returning wrappers (tests / small-scale callers) -------------------
 
 
 def prune_stripes(
     spark: SparkSession, streams_dir: str, column: str, lo=None, hi=None
 ) -> list[int]:
-    """Stripe ids whose [min, max] for ``column`` intersects [lo, hi].
+    """Stripe ids whose [min, max] for ``column`` intersects [lo, hi]
+    (driver-side list wrapper over :func:`prune_stripes_df`)."""
+    from ..engine import sarg as sarg_mod
 
-    Tri-state like the reference's TruthValue algebra: a stripe with no
-    stats for the column (all-null or missing) is kept (YES_NO_NULL ->
-    cannot skip).  ``lo``/``hi`` of None mean unbounded.
-    """
-    keep = []
-    for st in stripe_column_stats(spark, streams_dir):
-        if st["column"] != column:
-            continue
-        mn, mx = st["min"], st["max"]
-        if mn is None or mx is None:
-            keep.append(st["stripe_id"])
-            continue
-        if lo is not None and mx < lo:
-            continue
-        if hi is not None and mn > hi:
-            continue
-        keep.append(st["stripe_id"])
-    return sorted(set(keep))
+    df = prune_stripes_df(spark, streams_dir, sarg_mod.from_range(column, lo, hi))
+    return sorted(r[0] for r in df.collect())
+
+
+def prune_stripes_bloom(
+    spark: SparkSession, streams_dir: str, column: str, value
+) -> list[int]:
+    """List wrapper over :func:`prune_stripes_bloom_df`."""
+    df = prune_stripes_bloom_df(spark, streams_dir, column, value)
+    return sorted(r[0] for r in df.collect())
+
+
+def stripe_column_stats(spark: SparkSession, streams_dir: str) -> list[dict]:
+    """List-of-dicts wrapper over :func:`stripe_stats_df`."""
+    return [r.asDict() for r in stripe_stats_df(spark, streams_dir).collect()]
 
 
 _ARROW_TO_DDL = {
@@ -224,7 +277,7 @@ def infer_schema_ddl(
 ) -> str:
     """Read one FOOTER row and derive the Spark DDL schema."""
     row = (
-        spark.read.parquet(streams_dir)
+        read_streams(spark, streams_dir)
         .filter(F.col("kind") == "FOOTER")
         .select("data")
         .limit(1)

@@ -165,7 +165,7 @@ def completed_stripes(
     not silently reuse stripe ids for different content ("input" strategy
     ids are positional, so this check is what makes its resume safe)."""
     try:
-        df = spark.read.parquet(out_dir)
+        df = spark.read.schema(STREAMS_SCHEMA).parquet(out_dir)
     except Exception:
         return []
     footers = df.filter(F.col("kind") == "FOOTER")
@@ -253,7 +253,7 @@ def run_encode(
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-stripe metrics/lineage as a DataFrame (parsed FOOTER rows)."""
     footers = (
-        spark.read.parquet(out_dir)
+        spark.read.schema(STREAMS_SCHEMA).parquet(out_dir)
         .filter(F.col("kind") == "FOOTER")
         .select("stripe_id", F.col("data").cast("string").alias("footer"))
     )

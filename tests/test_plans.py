@@ -43,6 +43,33 @@ def test_decode_reads_only_needed_stream_columns(spark, streams_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_pruned_decode_is_fully_lazy_no_driver_collect(spark, streams_dir):
+    """Building a pruned decode plan must not run any Spark job: the
+    kept-stripe set flows through a broadcast semi-join evaluated at
+    execution time, never via a driver-side collect of footers/blooms."""
+    schema = decode_job.infer_schema_ddl(spark, streams_dir)  # one job, ok
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    decoded = decode_job.run_decode(
+        spark,
+        streams_dir,
+        schema_ddl=schema,
+        stripe_filter=("and", (">=", "url", "https://a"), ("not", ("is_null", "lang"))),
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a job (driver collect?)"
+    plan = _plan(decoded)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_bloom_prune_plan_is_join_shaped(spark, streams_dir):
+    """Bloom pruning is a DataFrame anti-join probed in executors."""
+    df = decode_job.prune_stripes_bloom_df(spark, streams_dir, "url", "x")
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+
+
 def test_filter_pushdown_on_source_scan(spark, streams_dir, tmp_path_factory):
     """Engine inputs are plain DataFrames: a filter before run_encode must
     reach the source scan (Catalyst PushDownPredicates), proving the

@@ -78,6 +78,35 @@ def test_pruned_decode_is_correct_subset(spark, pages_path, streams_dir):
     assert got == want  # pruning never loses matching rows
 
 
+def test_composite_predicate_pruning(spark, pages_path, streams_dir):
+    """AND/OR/NOT trees prune distributively and never lose matching rows
+    (SearchArgument analog end-to-end over real stripes)."""
+    df = spark.read.parquet(pages_path)
+    pred = (
+        "and",
+        ("between", "url", "https://a", "https://m"),
+        ("not", ("is_null", "lang")),
+    )
+    decoded = decode_job.run_decode(spark, streams_dir, stripe_filter=pred)
+    row_pred = (
+        (F.col("url") >= "https://a") & (F.col("url") <= "https://m")
+        & F.col("lang").isNotNull()
+    )
+    assert decoded.filter(row_pred).count() == df.filter(row_pred).count()
+
+    # an impossible conjunction prunes every stripe
+    impossible = ("and", ("=", "lang", "zz-nope"), ("<", "url", "https://zzzz"))
+    kept = decode_job.prune_stripes_df(spark, streams_dir, impossible).count()
+    total = decode_job.footers_df(spark, streams_dir).count()
+    assert total > 0
+    # "zz-nope" is outside every stripe's lang range -> all pruned
+    assert kept == 0
+
+    # an OR with one satisfiable arm keeps at least the matching stripes
+    some = ("or", ("=", "lang", "zz-nope"), (">", "url", "https://"))
+    assert decode_job.prune_stripes_df(spark, streams_dir, some).count() == total
+
+
 # ---------------------------------------------------------------------------
 # bloom pruning
 # ---------------------------------------------------------------------------

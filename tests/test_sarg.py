@@ -1,0 +1,171 @@
+"""Truth-table tests for the SearchArgument analog (sparc.engine.sarg).
+
+Mirrors the reference's TestRecordReaderImpl pruning truth tables:
+``evaluatePredicateMinMax`` leaf semantics (RecordReaderImpl.java:812-900)
+and the six-valued TruthValue AND/OR/NOT algebra."""
+
+import pytest
+
+from sparc.engine import sarg
+from sparc.engine.sarg import (
+    CANNOT_SKIP, IS_NULL, NO, NO_NULL, YES, YES_NO, YES_NULL,
+)
+
+
+def _stats(mn, mx, n_values=100, n_nulls=0, kind="int"):
+    return {"kind": kind, "min": mn, "max": mx, "n_values": n_values,
+            "n_nulls": n_nulls}
+
+
+# ---------------------------------------------------------------------------
+# leaf truth tables (mirror evaluatePredicateMinMax)
+# ---------------------------------------------------------------------------
+
+INT = _stats(10, 100)                       # [10, 100], no nulls
+INT_NULLS = _stats(10, 100, n_nulls=5)      # [10, 100] + nulls
+CONST = _stats(42, 42)                      # constant region
+ALL_NULL = _stats(None, None, n_values=0, n_nulls=100)
+
+LEAF_CASES = [
+    # (predicate, stats, expected)
+    (("=", "c", 5), INT, NO),
+    (("=", "c", 200), INT, NO),
+    (("=", "c", 50), INT, YES_NO),
+    (("=", "c", 42), CONST, YES),
+    (("=", "c", 41), CONST, NO),
+    (("=", "c", 50), INT_NULLS, YES_NO | IS_NULL),
+    (("=", "c", 5), INT_NULLS, NO_NULL),
+    (("<", "c", 10), INT, NO),
+    (("<", "c", 11), INT, YES_NO),
+    (("<", "c", 101), INT, YES),
+    (("<=", "c", 9), INT, NO),
+    (("<=", "c", 10), INT, YES_NO),
+    (("<=", "c", 100), INT, YES),
+    ((">", "c", 100), INT, NO),
+    ((">", "c", 99), INT, YES_NO),
+    ((">", "c", 9), INT, YES),
+    ((">=", "c", 101), INT, NO),
+    ((">=", "c", 100), INT, YES_NO),
+    ((">=", "c", 10), INT, YES),
+    (("in", "c", [1, 5, 200]), INT, NO),
+    (("in", "c", [1, 50]), INT, YES_NO),
+    (("in", "c", [42, 1]), CONST, YES),
+    (("in", "c", []), INT, NO),
+    (("between", "c", 1, 5), INT, NO),
+    (("between", "c", 101, 200), INT, NO),
+    (("between", "c", 1, 200), INT, YES),
+    (("between", "c", 10, 100), INT, YES),
+    (("between", "c", 50, 200), INT, YES_NO),
+    (("is_null", "c"), INT, NO),
+    (("is_null", "c"), INT_NULLS, YES_NO),
+    (("is_null", "c"), ALL_NULL, YES),
+    # comparisons over an all-null region yield null per row
+    (("=", "c", 5), ALL_NULL, IS_NULL),
+    (("<", "c", 5), ALL_NULL, IS_NULL),
+]
+
+
+@pytest.mark.parametrize("pred,stats,expected", LEAF_CASES)
+def test_leaf_truth_table(pred, stats, expected):
+    assert sarg.evaluate(pred, {"c": stats}) == expected
+
+
+def test_missing_column_or_stats_cannot_skip():
+    assert sarg.evaluate(("=", "absent", 1), {"c": INT}) == CANNOT_SKIP
+    assert sarg.evaluate(("=", "c", 1), {"c": {"kind": "int", "n_values": 5,
+                                              "n_nulls": 0, "min": None,
+                                              "max": None}}) == CANNOT_SKIP
+
+
+def test_type_mismatch_cannot_skip():
+    s = _stats("aaa", "zzz", kind="string")
+    # object probe vs string stats -> no safe comparison -> keep
+    assert sarg.evaluate(("=", "c", object()), {"c": s}) == CANNOT_SKIP
+    # numeric probe vs string stats
+    assert sarg.evaluate(("<", "c", 5), {"c": s}) == CANNOT_SKIP
+
+
+def test_string_semantics_and_truncated_max():
+    s = _stats("ham", "spam", kind="string")
+    assert sarg.evaluate(("=", "c", "eggs"), {"c": s}) == NO
+    assert sarg.evaluate(("=", "c", "jam"), {"c": s}) == YES_NO
+    assert sarg.evaluate(("=", "c", b"jam"), {"c": s}) == YES_NO  # bytes probe ok
+    # a max at the truncation limit is only a prefix: upper bound unusable,
+    # lower bound still valid
+    t = _stats("ham", "x" * 1024, kind="string")
+    assert sarg.evaluate(("=", "c", "x" * 2000), {"c": t}) == YES_NO
+    assert sarg.evaluate(("=", "c", "aaa"), {"c": t}) == NO
+
+
+# ---------------------------------------------------------------------------
+# TruthValue algebra (mirror SearchArgument.TruthValue tables)
+# ---------------------------------------------------------------------------
+
+
+def test_not_table():
+    assert sarg.not_(YES) == NO
+    assert sarg.not_(NO) == YES
+    assert sarg.not_(IS_NULL) == IS_NULL
+    assert sarg.not_(YES_NULL) == NO_NULL
+    assert sarg.not_(NO_NULL) == YES_NULL
+    assert sarg.not_(YES_NO) == YES_NO
+    assert sarg.not_(CANNOT_SKIP) == CANNOT_SKIP
+
+
+def test_and_table():
+    assert sarg.and_(YES, YES) == YES
+    assert sarg.and_(YES, NO) == NO
+    assert sarg.and_(NO, CANNOT_SKIP) == NO       # NO dominates AND
+    assert sarg.and_(YES, IS_NULL) == IS_NULL
+    assert sarg.and_(YES_NO, YES_NO) == YES_NO
+    assert sarg.and_(YES_NULL, YES) == YES_NULL
+    assert sarg.and_(NO_NULL, YES) == NO_NULL
+    assert sarg.and_(CANNOT_SKIP, CANNOT_SKIP) == CANNOT_SKIP
+
+
+def test_or_table():
+    assert sarg.or_(NO, NO) == NO
+    assert sarg.or_(YES, NO) == YES
+    assert sarg.or_(YES, CANNOT_SKIP) == YES      # YES dominates OR
+    assert sarg.or_(NO, IS_NULL) == IS_NULL
+    assert sarg.or_(YES_NO, YES_NO) == YES_NO
+    assert sarg.or_(NO_NULL, NO) == NO_NULL
+    assert sarg.or_(YES_NULL, NO) == YES_NULL
+
+
+# ---------------------------------------------------------------------------
+# composite trees
+# ---------------------------------------------------------------------------
+
+
+def test_composite_and_or_not():
+    stats = {"a": _stats(10, 100), "b": _stats(0, 5)}
+    # a in range AND b impossible -> prune
+    p = ("and", ("between", "a", 20, 30), ("=", "b", 99))
+    assert not sarg.keep(p, stats)
+    # a impossible OR b possible -> keep
+    p = ("or", ("=", "a", 500), ("<", "b", 3))
+    assert sarg.keep(p, stats)
+    # NOT of a definite YES -> prune
+    p = ("not", ("between", "a", 0, 1000))
+    assert not sarg.keep(p, stats)
+    # NOT of YES_NO -> still cannot skip
+    p = ("not", ("=", "a", 50))
+    assert sarg.keep(p, stats)
+    # two-clause AND where each clause alone is possible but one is NO
+    p = ("and", ("=", "a", 50), ("and", (">", "b", 10), ("<", "a", 90)))
+    assert not sarg.keep(p, stats)
+
+
+def test_keep_semantics_with_nulls():
+    stats = {"a": _stats(10, 100, n_nulls=3)}
+    assert not sarg.keep(("=", "a", 5), stats)      # NO_NULL: no Y possible
+    assert sarg.keep(("is_null", "a"), stats)
+    assert not sarg.keep(("=", "a", 5), {"a": ALL_NULL})  # IS_NULL: prune
+
+
+def test_from_range():
+    assert sarg.from_range("c", 1, 5) == ("between", "c", 1, 5)
+    assert sarg.from_range("c", 1, None) == (">=", "c", 1)
+    assert sarg.from_range("c", None, 5) == ("<=", "c", 5)
+    assert sarg.keep(sarg.from_range("c", None, None), {"c": INT})
