@@ -502,6 +502,84 @@ def _stripe_prune_documents(spark, sf_dir):
     )
 
 
+def _roundtrip_structs(spark, sf_dir):
+    """Nested-type round-trip (struct, struct-of-struct, list) through the
+    real stripe engine; mismatches must be zero."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"), F.length("text").alias("n")
+        ).alias("meta"),
+        F.struct(
+            F.struct(F.col("source").alias("src")).alias("inner"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("long").alias("k"),
+        ).alias("deep"),
+        F.split(F.col("lang"), "-").alias("parts"),
+    )
+
+    def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from sparc.engine import stripe as stripe_mod
+
+        got = list(batches)
+        if not got:
+            return
+        t = pa.Table.from_batches(got)
+        streams, footer = stripe_mod.encode_stripe(t)
+        out = stripe_mod.decode_stripe(streams, footer)
+        yield from out.to_batches(max_chunksize=10_000)
+
+    decoded = nested.mapInArrow(rt, schema=nested.schema)
+    n_mismatch = nested.exceptAll(decoded).count() + decoded.exceptAll(nested).count()
+    return spark.createDataFrame(
+        [(nested.count(), n_mismatch)], "n_rows long, n_mismatch long"
+    )
+
+
+_ROUNDTRIP_STRUCTS_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch "
+    "FROM documents"
+)
+
+
+def _rowgroup_prune_events(spark, sf_dir):
+    """Row-group index end-to-end: encode events sorted by event_id with a
+    1k stride, decode through a narrow composite predicate, and report
+    the match count plus whether intra-stripe pruning actually reduced
+    the decoded row count (the read-amplification contract)."""
+    import tempfile
+
+    from sparc.job import decode_job, encode_job
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sparc_rg_") + "/streams"
+    # stride 104 (multiple of 8, PRESENT byte alignment) so even the
+    # sf0.001 fixture yields several row groups per stripe
+    encode_job.run_encode(
+        ev, out, key="event_id", strategy="hash", n_stripes=2,
+        sort_within=["event_id"], resume=False, row_index_stride=104,
+    )
+    total = ev.count()
+    pred = ("and", ("between", "event_id", 100, 299), ("not", ("is_null", "event_id")))
+    decoded = decode_job.run_decode(spark, out, stripe_filter=pred)
+    n_decoded = decoded.count()
+    n_match = decoded.filter(F.col("event_id").between(100, 299)).count()
+    return spark.createDataFrame(
+        [(total, n_match, bool(n_decoded < total))],
+        "n_rows long, n_match long, pruned boolean",
+    )
+
+
+def _rowgroup_prune_sql(sf: str = "") -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN event_id BETWEEN 100 AND 299 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_match, CAST(1 AS BOOLEAN) AS pruned FROM events"
+    )
+
+
 def _multimodal_features(spark, sf_dir):
     """Scalar metadata surface of the multimodal plumbing (value-checked);
     the array<float> feature column lives in extract_features and is
@@ -568,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": lambda s, d: _roundtrip_mismatches(s, d, "events"),
         "roundtrip_lineitem": lambda s, d: _roundtrip_mismatches(s, d, "lineitem"),
         "roundtrip_embeddings": lambda s, d: _roundtrip_mismatches(s, d, "embeddings"),
+        "roundtrip_structs": _roundtrip_structs,
+        "rowgroup_prune_events": _rowgroup_prune_events,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -600,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM events",
         "roundtrip_lineitem": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM lineitem",
         "roundtrip_embeddings": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM embeddings",
+        "roundtrip_structs": _ROUNDTRIP_STRUCTS_SQL,
+        "rowgroup_prune_events": _rowgroup_prune_sql(),
         "text_profile": _text_profile_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

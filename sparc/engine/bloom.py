@@ -65,6 +65,42 @@ def build(values: pd.Series, fpp: float = DEFAULT_FPP) -> bytes:
     return _HEADER.pack(m, k, len(dtype)) + dtype + bits.tobytes()
 
 
+_MULTI_MAGIC = b"SBM1"
+
+
+def pack_multi(blobs: list[bytes]) -> bytes:
+    """Pack per-row-group bloom blobs into one self-describing stream
+    (the per-row-group serialization the reference keeps in its
+    BLOOM_FILTER_UTF8 index stream)."""
+    head = _MULTI_MAGIC + struct.pack("<H", len(blobs))
+    lens = b"".join(struct.pack("<I", len(b)) for b in blobs)
+    return head + lens + b"".join(blobs)
+
+
+def unpack_multi(blob: bytes) -> list[bytes]:
+    if not blob.startswith(_MULTI_MAGIC):
+        return [blob]  # legacy single-filter stream
+    (n,) = struct.unpack_from("<H", blob, 4)
+    lens = struct.unpack_from(f"<{n}I", blob, 6)
+    out = []
+    pos = 6 + 4 * n
+    for ln in lens:
+        out.append(blob[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def might_contain_any(blob: bytes, value) -> bool:
+    """Stripe-level probe over a (possibly multi-row-group) bloom stream."""
+    return any(might_contain(b, value) for b in unpack_multi(blob))
+
+
+def might_contain_rg(blob: bytes, value, g: int) -> bool:
+    """Row-group-level probe; out-of-range groups cannot be skipped."""
+    blobs = unpack_multi(blob)
+    return True if g >= len(blobs) else might_contain(blobs[g], value)
+
+
 def might_contain(blob: bytes, value) -> bool:
     """Probe; False means the value is definitely absent from the stripe."""
     m, k, dlen = _HEADER.unpack_from(blob, 0)

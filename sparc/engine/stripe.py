@@ -10,10 +10,25 @@ streams keyed by kind:
 - PRESENT       — null mask (bitfield + byte-RLE), only when nulls exist
   (TreeWriterBase.writeBatch/removeIsPresentPositions semantics)
 - DATA          — main data (RLEv2 / raw bytes / dict codes / FSST body)
-- LENGTH        — RLEv2 unsigned lengths (strings, binary, lists)
+- LENGTH        — RLEv2 unsigned lengths (strings, binary, lists, maps)
 - DICTIONARY_DATA — concatenated sorted dictionary bytes
 - SECONDARY     — timestamp nanos (TimestampTreeWriter.formatNanos contract,
   ``org/apache/orc/impl/writer/TimestampTreeWriter.java:99-174``)
+- FSST_TABLE    — serialized FSST symbol table (segmented FSST streams)
+- CHILD{i}_*    — nested child column streams (list/map/struct recursion,
+  ``ListTreeWriter.writeBatch`` :73-126, ``MapTreeWriter`` :77-136,
+  ``StructTreeWriter.writeBatch`` :71-100)
+
+Row-group index (``orc.row.index.stride`` = 10,000): value-bearing streams
+are encoded and block-compressed in per-row-group SEGMENTS whose
+compressed lengths live in the footer (``meta["segments"]``), alongside
+per-row-group statistics (``meta["row_index"]``).  That is the engine's
+analog of the reference's ROW_INDEX stream + per-group positions
+(``TreeWriterBase.createRowIndexEntry`` TreeWriterBase.java:323-330):
+a reader can evaluate a predicate against the per-group stats
+(``RecordReaderImpl.pickRowGroups`` RecordReaderImpl.java:1176-1292) and
+decompress + decode ONLY the selected groups (``seekToRow`` analog —
+segment boundaries play the role of stream seek positions).
 
 Every stream then passes the block-codec layer (§2.5).  The per-stripe
 footer is a JSON-able dict: encodings chosen, per-stream sizes, column
@@ -34,6 +49,10 @@ TS_BASE_SECONDS = 1_420_070_400
 
 DICT_CHECK_ROWS = 10_000  # ROW_INDEX_STRIDE_DICTIONARY_CHECK analog
 FSST_MIN_WIN = 0.90  # pre-codec sample ratio gate (see _encode_binary_like)
+
+# orc.row.index.stride default; must stay a multiple of 8 so PRESENT /
+# bool bitfield segments stay byte-aligned at every group boundary
+ROW_INDEX_STRIDE = 10_000
 
 
 def _fsst_enabled() -> bool:
@@ -79,111 +98,179 @@ def parse_nanos(v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _arrow_nonnull_int64(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
-    """(non-null values as int64, validity bool array or None)."""
+def _arrow_nonnull_int64(arr: pa.Array) -> np.ndarray:
+    """Non-null values as int64."""
     t = arr.type
     # date32 has no direct int64 cast; hop through its storage width
     mid = pa.int32() if pa.types.is_date32(t) else pa.int64()
-    if arr.null_count:
-        valid = arr.is_valid().to_numpy(zero_copy_only=False)
-        vals = arr.drop_null().cast(mid).to_numpy(zero_copy_only=False)
-        return vals.astype(np.int64), valid
-    return (
-        arr.cast(mid).to_numpy(zero_copy_only=False).astype(np.int64),
-        None,
-    )
+    nn = arr.drop_null() if arr.null_count else arr
+    return nn.cast(mid).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _row_bounds(n_rows: int, stride: int | None) -> list[tuple[int, int]]:
+    if not stride or n_rows <= 0:
+        return [(0, n_rows)]
+    return [(lo, min(lo + stride, n_rows)) for lo in range(0, n_rows, stride)]
+
+
+class _ColumnEncoder:
+    """Accumulates per-row-group segments + whole-stripe streams for one
+    column, then compresses into the final (streams, meta) pair."""
+
+    def __init__(self, name: str, arr: pa.Array, codec: str, stride: int | None):
+        self.name = name
+        self.arr = arr
+        self.codec = codec
+        self.stride = stride
+        self.bounds = _row_bounds(len(arr), stride)
+        self.valid: np.ndarray | None = None
+        if arr.null_count:
+            self.valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        # per-group (row count, null count, value offset into non-null space)
+        self.rg_rows = [hi - lo for lo, hi in self.bounds]
+        if self.valid is None:
+            self.rg_nulls = [0] * len(self.bounds)
+        else:
+            self.rg_nulls = [
+                int((~self.valid[lo:hi]).sum()) for lo, hi in self.bounds
+            ]
+        self.rg_vals = [r - z for r, z in zip(self.rg_rows, self.rg_nulls)]
+        self.voffs = np.concatenate(([0], np.cumsum(self.rg_vals))).astype(np.int64)
+        self.seg_streams: dict[str, list[bytes]] = {}
+        self.whole_streams: dict[str, bytes] = {}
+        self.child_streams: dict[str, bytes] = {}  # pre-compressed (recursive)
+        self.row_index: list[dict] = [{} for _ in self.bounds]
+        self.meta: dict = {
+            "name": name,
+            "arrow_type": str(arr.type),
+            "n_rows": len(arr),
+            "n_nulls": arr.null_count,
+        }
+        if self.valid is not None:
+            self.seg_streams["PRESENT"] = [
+                bitfield.encode(self.valid[lo:hi]) for lo, hi in self.bounds
+            ]
+
+    def val_slice(self, g: int) -> slice:
+        return slice(int(self.voffs[g]), int(self.voffs[g + 1]))
+
+    def set_rg_stats(self, g: int, st: stats_mod.ColumnStats) -> None:
+        self.row_index[g]["n_rows"] = self.rg_rows[g]
+        self.row_index[g]["stats"] = st.to_dict()
+
+    def finish(self) -> tuple[dict[str, bytes], dict]:
+        streams: dict[str, bytes] = {}
+        sizes: dict[str, dict] = {}
+        segments: dict[str, list[int]] = {}
+        for kind, segs in self.seg_streams.items():
+            level = _STREAM_LEVEL.get(kind) if self.codec == "zstd" else None
+            comp = [block.compress(s, self.codec, level) for s in segs]
+            streams[kind] = b"".join(comp)
+            segments[kind] = [len(c) for c in comp]
+            sizes[kind] = {
+                "encoded": sum(len(s) for s in segs),
+                "compressed": sum(len(c) for c in comp),
+            }
+        for kind, raw in self.whole_streams.items():
+            level = _STREAM_LEVEL.get(kind) if self.codec == "zstd" else None
+            comp = block.compress(raw, self.codec, level)
+            streams[kind] = comp
+            sizes[kind] = {"encoded": len(raw), "compressed": len(comp)}
+        for kind, comp in self.child_streams.items():
+            streams[kind] = comp
+            sizes[kind] = {"encoded": len(comp), "compressed": len(comp)}
+        if self.stride:
+            if segments:
+                self.meta["segments"] = segments
+            self.meta["row_index_stride"] = self.stride
+            self.meta["row_index"] = self.row_index
+        self.meta["codec"] = self.codec
+        self.meta["streams"] = sizes
+        return streams, self.meta
 
 
 def encode_column(
-    arr: pa.Array, name: str, codec: str = "zstd", fsst: bool | None = None
+    arr: pa.Array,
+    name: str,
+    codec: str = "zstd",
+    fsst: bool | None = None,
+    stride: int | None = ROW_INDEX_STRIDE,
 ) -> tuple[dict[str, bytes], dict]:
-    """Encode one column -> ({stream_kind: bytes}, column footer dict)."""
+    """Encode one column -> ({stream_kind: bytes}, column footer dict).
+
+    ``stride`` > 0 produces per-row-group stream segments + stats (the
+    row-group index); ``stride=None`` emits the legacy single-segment
+    layout (used for nested children, whose value space does not align
+    with parent row groups)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    streams: dict[str, bytes] = {}
-    meta: dict = {
-        "name": name,
-        "arrow_type": str(t),
-        "n_rows": len(arr),
-        "n_nulls": arr.null_count,
-    }
-
-    valid = None
-    if arr.null_count:
-        valid = arr.is_valid().to_numpy(zero_copy_only=False)
-        streams["PRESENT"] = bitfield.encode(valid)
+    enc = _ColumnEncoder(name, arr, codec, stride)
+    meta = enc.meta
 
     if pa.types.is_integer(t) or pa.types.is_date(t):
-        vals, _ = _arrow_nonnull_int64(arr)
-        streams["DATA"] = rlev2.encode(vals, signed=True)
+        vals = _arrow_nonnull_int64(arr)
+        enc.seg_streams["DATA"] = []
+        for g in range(len(enc.bounds)):
+            v = vals[enc.val_slice(g)]
+            enc.seg_streams["DATA"].append(rlev2.encode(v, signed=True))
+            enc.set_rg_stats(g, stats_mod.int_stats(v, enc.rg_nulls[g]))
         meta["encoding"] = "rlev2"
         meta["stats"] = stats_mod.int_stats(vals, arr.null_count).to_dict()
     elif pa.types.is_timestamp(t):
         unit_scale = _TS_UNITS[t.unit]
-        vals, _ = _arrow_nonnull_int64(arr)
+        vals = _arrow_nonnull_int64(arr)
         # split into (seconds - 2015 base) + formatted nanos
         seconds = np.floor_divide(vals, unit_scale) - TS_BASE_SECONDS
         frac = np.mod(vals, unit_scale)  # >= 0 (floor semantics)
-        nanos = frac * (1_000_000_000 // unit_scale)
-        streams["DATA"] = rlev2.encode(seconds, signed=True)
-        streams["SECONDARY"] = rlev2.encode(format_nanos(nanos), signed=False)
+        nanos = format_nanos(frac * (1_000_000_000 // unit_scale))
+        enc.seg_streams["DATA"] = []
+        enc.seg_streams["SECONDARY"] = []
+        for g in range(len(enc.bounds)):
+            sl = enc.val_slice(g)
+            enc.seg_streams["DATA"].append(rlev2.encode(seconds[sl], signed=True))
+            enc.seg_streams["SECONDARY"].append(rlev2.encode(nanos[sl], signed=False))
+            enc.set_rg_stats(
+                g, stats_mod.int_stats(vals[sl], enc.rg_nulls[g], kind="timestamp")
+            )
         meta["encoding"] = "timestamp_split"
         meta["ts_unit"] = t.unit
         meta["ts_tz"] = t.tz
         meta["stats"] = stats_mod.int_stats(vals, arr.null_count, kind="timestamp").to_dict()
     elif pa.types.is_floating(t):
         np_t = np.float32 if pa.types.is_float32(t) else np.float64
-        if arr.null_count:
-            vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np_t)
-        else:
-            vals = arr.to_numpy(zero_copy_only=False).astype(np_t)
-        streams["DATA"] = vals.astype(np.dtype(np_t).newbyteorder("<")).tobytes()
+        nn = arr.drop_null() if arr.null_count else arr
+        vals = nn.to_numpy(zero_copy_only=False).astype(np_t)
+        le = np.dtype(np_t).newbyteorder("<")
+        enc.seg_streams["DATA"] = []
+        for g in range(len(enc.bounds)):
+            v = vals[enc.val_slice(g)]
+            enc.seg_streams["DATA"].append(v.astype(le).tobytes())
+            enc.set_rg_stats(
+                g, stats_mod.float_stats(v.astype(np.float64), enc.rg_nulls[g])
+            )
         meta["encoding"] = "float_raw"
         meta["stats"] = stats_mod.float_stats(vals.astype(np.float64), arr.null_count).to_dict()
     elif pa.types.is_boolean(t):
-        if arr.null_count:
-            vals = arr.drop_null().to_numpy(zero_copy_only=False)
-        else:
-            vals = arr.to_numpy(zero_copy_only=False)
-        streams["DATA"] = bitfield.encode(vals)
+        nn = arr.drop_null() if arr.null_count else arr
+        vals = nn.to_numpy(zero_copy_only=False)
+        enc.seg_streams["DATA"] = []
+        for g in range(len(enc.bounds)):
+            v = vals[enc.val_slice(g)]
+            enc.seg_streams["DATA"].append(bitfield.encode(v))
+            enc.set_rg_stats(g, stats_mod.bool_stats(v, enc.rg_nulls[g]))
         meta["encoding"] = "bool"
         meta["stats"] = stats_mod.bool_stats(vals, arr.null_count).to_dict()
     elif _is_binary_like(t):
-        _encode_binary_like(arr, streams, meta, codec, fsst)
-    elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        nn = arr.drop_null() if arr.null_count else arr
-        counts = nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-        streams["LENGTH"] = rlev2.encode(counts, signed=False)
-        child_streams, child_meta = encode_column(nn.flatten(), f"{name}.item", codec)
-        for k, v in child_streams.items():
-            streams[f"CHILD_{k}"] = v
-        meta["encoding"] = "list"
-        meta["child"] = child_meta
-        meta["stats"] = stats_mod.int_stats(counts, arr.null_count, kind="int").to_dict()
+        _encode_binary_like(enc, fsst)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+        _encode_list_like(enc, fsst)
+    elif pa.types.is_struct(t):
+        _encode_struct(enc, fsst)
     else:
         raise NotImplementedError(f"unsupported arrow type {t} for column {name}")
 
-    # block-compression layer on every stream, store-if-bigger per chunk
-    # (CHILD_* streams were already compressed by the recursive call).
-    # Per-stream codec tuning mirrors SerializationUtils.getCustomizedCodec
-    # (SerializationUtils.java:1391-1424): small index-ish streams
-    # (PRESENT/LENGTH/SECONDARY) get a faster level; bulk DATA streams the
-    # default.  Levels are codec params, not format — the chunk header
-    # carries everything the decoder needs.
-    sizes = {}
-    for kind in list(streams):
-        raw = streams[kind]
-        if kind.startswith("CHILD_"):
-            sizes[kind] = {"encoded": len(raw), "compressed": len(raw)}
-            continue
-        level = _STREAM_LEVEL.get(kind) if codec == "zstd" else None
-        comp = block.compress(raw, codec, level)
-        streams[kind] = comp
-        sizes[kind] = {"encoded": len(raw), "compressed": len(comp)}
-    meta["codec"] = codec
-    meta["streams"] = sizes
-    return streams, meta
+    return enc.finish()
 
 
 # stream kind -> zstd level override (None = codec default, level 3)
@@ -199,45 +286,61 @@ def _is_binary_like(t: pa.DataType) -> bool:
     )
 
 
-def _encode_binary_like(
-    arr: pa.Array, streams: dict, meta: dict, codec: str = "zstd",
-    fsst_opt: bool | None = None,
-) -> None:
+def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     """String/binary: dict-vs-direct(-vs-FSST) auto-selection by stripe stats.
 
     Mirrors checkDictionaryEncoding's early 10k-row check + the 0.8
     threshold; extends the 2-way choice with an FSST candidate measured on
     a sample (the 3-way selection SURVEY.md §4 calls for).
     """
+    arr, meta = enc.arr, enc.meta
     t = arr.type
     is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     nn = arr.drop_null() if arr.null_count else arr
     bin_arr = nn.cast(pa.large_binary())
     lengths = pa.compute.binary_length(bin_arr).to_numpy(zero_copy_only=False).astype(np.int64)
     n_nonnull = len(bin_arr)
+    kind = "string" if is_str else "binary"
+
+    def rg_string_stats(g: int) -> None:
+        sl = enc.val_slice(g)
+        mn = mx = None
+        # binary columns carry no min/max (BinaryStatisticsImpl tracks
+        # only the byte sum) — blob bounds are useless for pruning and
+        # would bloat every footer's row index
+        if is_str:
+            sub = bin_arr.slice(sl.start, sl.stop - sl.start)
+            if len(sub):
+                mm = pa.compute.min_max(sub)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        enc.set_rg_stats(
+            g,
+            stats_mod.string_stats(lengths[sl], enc.rg_nulls[g], mn, mx, kind=kind),
+        )
 
     # early dictionary check on the first 10k non-null rows
     check = bin_arr.slice(0, min(DICT_CHECK_ROWS, n_nonnull))
-    import pandas as pd
-
-    check_codes, check_uniques = pd.factorize(check.to_pandas(), sort=False)
-    use_dict = dictionary.should_use_dictionary(len(check_uniques), len(check))
+    n_check_unique = len(check.unique())
+    use_dict = dictionary.should_use_dictionary(n_check_unique, len(check))
 
     if use_dict and n_nonnull:
         codes, uniques = dictionary.encode_sorted(bin_arr)
-        dict_blob = b"".join(uniques)
-        streams["DATA"] = rlev2.encode(codes, signed=False)
-        streams["DICTIONARY_DATA"] = dict_blob
-        streams["LENGTH"] = rlev2.encode(
+        enc.whole_streams["DICTIONARY_DATA"] = b"".join(uniques)
+        enc.whole_streams["LENGTH"] = rlev2.encode(
             np.fromiter((len(u) for u in uniques), dtype=np.int64, count=len(uniques)),
             signed=False,
         )
+        enc.seg_streams["DATA"] = []
+        for g in range(len(enc.bounds)):
+            enc.seg_streams["DATA"].append(
+                rlev2.encode(codes[enc.val_slice(g)], signed=False)
+            )
+            rg_string_stats(g)
         meta["encoding"] = "dict"
         meta["dict_size"] = len(uniques)
         mn, mx = (uniques[0], uniques[-1]) if uniques else (None, None)
         meta["stats"] = stats_mod.string_stats(
-            lengths, meta["n_nulls"], mn, mx, n_distinct=len(uniques),
-            kind="string" if is_str else "binary",
+            lengths, meta["n_nulls"], mn, mx, n_distinct=len(uniques), kind=kind
         ).to_dict()
         return
 
@@ -246,10 +349,10 @@ def _encode_binary_like(
     # (html blobs) go straight to the zstd block layer, which compresses
     # them nearly as well at ~50x the speed.
     data_buf = _concat_binary(bin_arr)
-    streams["LENGTH"] = rlev2.encode(lengths, signed=False)
+    byte_offs = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     fsst_on = _fsst_enabled() if fsst_opt is None else fsst_opt
-    use_fsst = False
+    table = None
     if fsst_on and len(data_buf) >= 4096 and is_str and avg_len <= FSST_MAX_AVG_LEN:
         # Decision is on the PRE-block-codec ratio: comparing post-zstd
         # sizes on a small sample is biased against FSST (an FSST'd 256 KiB
@@ -258,22 +361,102 @@ def _encode_binary_like(
         # vs full-stream 0.78-0.91).  A pre-codec ratio < FSST_MIN_WIN
         # empirically predicts a post-codec win on web text/urls.
         sample = bytes(data_buf[:FSST_SAMPLE])
-        table = fsst.train(sample)
-        sample_enc = fsst.compress(sample, table)
-        if len(sample_enc) < FSST_MIN_WIN * len(sample):
-            use_fsst = True
-            body = fsst.compress(bytes(data_buf), table)
-            streams["DATA"] = table.serialize() + body
-            meta["encoding"] = "direct_fsst"
-    if not use_fsst:
-        streams["DATA"] = bytes(data_buf)
+        cand = fsst.train(sample)
+        if len(fsst.compress(sample, cand)) < FSST_MIN_WIN * len(sample):
+            table = cand
+
+    enc.seg_streams["LENGTH"] = []
+    enc.seg_streams["DATA"] = []
+    for g in range(len(enc.bounds)):
+        sl = enc.val_slice(g)
+        enc.seg_streams["LENGTH"].append(rlev2.encode(lengths[sl], signed=False))
+        chunk = bytes(data_buf[int(byte_offs[sl.start]) : int(byte_offs[sl.stop])])
+        enc.seg_streams["DATA"].append(
+            fsst.compress(chunk, table) if table is not None else chunk
+        )
+        rg_string_stats(g)
+    if table is not None:
+        enc.whole_streams["FSST_TABLE"] = table.serialize()
+        meta["encoding"] = "direct_fsst"
+    else:
         meta["encoding"] = "direct"
     mn = mx = None
-    if n_nonnull:
+    if n_nonnull and is_str:
         mm = pa.compute.min_max(bin_arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
     meta["stats"] = stats_mod.string_stats(
-        lengths, meta["n_nulls"], mn, mx, kind="string" if is_str else "binary"
+        lengths, meta["n_nulls"], mn, mx, kind=kind
+    ).to_dict()
+
+
+def _encode_list_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
+    """List / large_list / map: per-group LENGTH segments + whole-stripe
+    child subtree (child value space does not align with parent groups;
+    per-group child counts in the row index allow selective child
+    slicing at decode).  Mirrors ListTreeWriter / MapTreeWriter."""
+    arr, meta = enc.arr, enc.meta
+    t = arr.type
+    nn = arr.drop_null() if arr.null_count else arr
+    is_map = pa.types.is_map(t)
+    if is_map:
+        lst = nn.cast(
+            pa.list_(
+                pa.struct(
+                    [("key", t.key_type), ("value", t.item_type)]
+                )
+            )
+        )
+    else:
+        lst = nn
+    counts = lst.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    enc.seg_streams["LENGTH"] = []
+    for g in range(len(enc.bounds)):
+        sl = enc.val_slice(g)
+        c = counts[sl]
+        enc.seg_streams["LENGTH"].append(rlev2.encode(c, signed=False))
+        enc.set_rg_stats(g, stats_mod.int_stats(c, enc.rg_nulls[g]))
+        enc.row_index[g]["child_count"] = int(c.sum())
+    child_streams, child_meta = encode_column(
+        lst.flatten(), f"{enc.name}.item", enc.codec, fsst_opt, stride=None
+    )
+    for k, v in child_streams.items():
+        enc.child_streams[f"CHILD0_{k}"] = v
+    meta["encoding"] = "map" if is_map else "list"
+    meta["child"] = child_meta
+    meta["stats"] = stats_mod.int_stats(counts, arr.null_count).to_dict()
+
+
+def _encode_struct(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
+    """Struct: no data streams of its own — PRESENT + one recursive child
+    subtree per field, full stripe length (StructTreeWriter.writeBatch
+    semantics: children are written for every row; the struct validity
+    mask governs reassembly)."""
+    arr, meta = enc.arr, enc.meta
+    t = arr.type
+    children_meta = []
+    for i in range(t.num_fields):
+        field = t.field(i)
+        child = arr.field(i)
+        child_streams, child_meta = encode_column(
+            child, f"{enc.name}.{field.name}", enc.codec, fsst_opt, stride=None
+        )
+        child_meta["field_name"] = field.name
+        for k, v in child_streams.items():
+            enc.child_streams[f"CHILD{i}_{k}"] = v
+        children_meta.append(child_meta)
+    for g in range(len(enc.bounds)):
+        enc.set_rg_stats(
+            g,
+            stats_mod.ColumnStats(
+                kind="struct",
+                n_values=enc.rg_vals[g],
+                n_nulls=enc.rg_nulls[g],
+            ),
+        )
+    meta["encoding"] = "struct"
+    meta["children"] = children_meta
+    meta["stats"] = stats_mod.ColumnStats(
+        kind="struct", n_values=len(arr) - arr.null_count, n_nulls=arr.null_count
     ).to_dict()
 
 
@@ -291,11 +474,13 @@ def encode_stripe(
     codec: str = "zstd",
     bloom_columns: list[str] | None = None,
     fsst: bool | None = None,
+    row_index_stride: int | None = ROW_INDEX_STRIDE,
 ) -> tuple[dict[tuple[str, str], bytes], dict]:
     """Encode all columns -> ({(column, kind): bytes}, stripe footer).
 
-    ``bloom_columns`` adds a per-stripe BLOOM_FILTER_UTF8 stream for the
-    named columns (point-lookup stripe pruning, SURVEY.md §2.6)."""
+    ``bloom_columns`` adds a per-row-group BLOOM_FILTER_UTF8 stream for
+    the named columns (point-lookup stripe + row-group pruning,
+    SURVEY.md §2.6)."""
     import time
 
     from .. import runtime
@@ -304,16 +489,24 @@ def encode_stripe(
     t_start = time.perf_counter()
     streams: dict[tuple[str, str], bytes] = {}
     footer = {"n_rows": batch.num_rows, "columns": []}
+    if row_index_stride:
+        footer["row_index_stride"] = row_index_stride
     for i, name in enumerate(batch.schema.names):
         col = batch.column(i)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        col_streams, col_meta = encode_column(col, name, codec, fsst)
+        col_streams, col_meta = encode_column(
+            col, name, codec, fsst, stride=row_index_stride
+        )
         if bloom_columns and name in bloom_columns:
             from . import bloom as bloom_mod
 
-            nn = col.drop_null() if col.null_count else col
-            blob = bloom_mod.build(nn.to_pandas())
+            blobs = []
+            for lo, hi in _row_bounds(len(col), row_index_stride):
+                sub = col.slice(lo, hi - lo)
+                sub = sub.drop_null() if sub.null_count else sub
+                blobs.append(bloom_mod.build(sub.to_pandas()))
+            blob = bloom_mod.pack_multi(blobs)
             col_streams["BLOOM_FILTER_UTF8"] = blob
             col_meta["streams"]["BLOOM_FILTER_UTF8"] = {
                 "encoded": len(blob),
@@ -332,25 +525,157 @@ def encode_stripe(
 
 
 def decode_column(
-    streams: dict[str, bytes], meta: dict
+    streams: dict[str, bytes], meta: dict, row_groups: list[int] | None = None
 ) -> pa.Array:
+    """Decode one column; ``row_groups`` selects row-group indices to
+    materialize (None = all).  Selected groups only are decompressed and
+    decoded when the column was written with segments; columns without
+    segments (nested children, legacy stripes) decode whole and are
+    row-sliced."""
+    codec = meta["codec"]
+    segments = meta.get("segments")
+    if segments is None or meta["encoding"] == "struct":
+        # struct columns have no data streams of their own: children are
+        # whole-stripe subtrees, so decode whole and row-slice (segment
+        # concatenation stays byte-aligned because the stride is a
+        # multiple of 8 — block chunks concatenate transparently)
+        arr = _decode_whole(streams, meta)
+        if row_groups is not None:
+            arr = _slice_row_groups(arr, meta, row_groups)
+        return arr
+
+    ri = meta["row_index"]
+    rgs = list(row_groups) if row_groups is not None else list(range(len(ri)))
+    bounds = {
+        kind: np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        for kind, lens in segments.items()
+    }
+
+    def seg_raw(kind: str, g: int) -> bytes:
+        b = bounds[kind]
+        return block.decompress(streams[kind][int(b[g]) : int(b[g + 1])], codec)
+
+    shared = {
+        k: block.decompress(v, codec)
+        for k, v in streams.items()
+        if k not in segments
+        and not k.startswith("CHILD")
+        and k != "BLOOM_FILTER_UTF8"
+    }
+
+    t = _parse_type(meta)
+    enc = meta["encoding"]
+
+    # whole-stripe shared state per encoding
+    dict_arrays = None
+    if enc == "dict":
+        nd = meta["dict_size"]
+        dlens = rlev2.decode(shared["LENGTH"], nd, signed=False)
+        dblob = np.frombuffer(shared["DICTIONARY_DATA"], np.uint8)
+        doffs = np.concatenate(([0], np.cumsum(dlens)))
+        dict_arrays = (dlens, dblob, doffs)
+    fsst_table = None
+    if enc == "direct_fsst":
+        fsst_table, _ = fsst.SymbolTable.deserialize(shared["FSST_TABLE"])
+    child = None
+    if enc in ("list", "map"):
+        child_streams = {
+            k[len("CHILD0_"):]: v for k, v in streams.items() if k.startswith("CHILD0_")
+        }
+        child = decode_column(child_streams, meta["child"])
+        # child start offset of each group = cumsum of per-group counts
+        child_offs = np.concatenate(
+            ([0], np.cumsum([e["child_count"] for e in ri]))
+        ).astype(np.int64)
+
+    pieces: list[pa.Array] = []
+    for g in rgs:
+        n_rows = ri[g]["n_rows"]
+        n_nulls = ri[g]["stats"]["n_nulls"]
+        n_vals = n_rows - n_nulls
+        valid = None
+        if n_nulls:
+            valid = bitfield.decode(seg_raw("PRESENT", g), n_rows)
+        elif "PRESENT" in segments:
+            pass  # group has no nulls; PRESENT segment is all-ones, skip
+        if enc == "rlev2":
+            vals = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
+            pieces.append(_scatter_numeric(vals, valid, n_rows, t))
+        elif enc == "timestamp_split":
+            seconds = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
+            nanos = parse_nanos(rlev2.decode(seg_raw("SECONDARY", g), n_vals, signed=False))
+            unit_scale = _TS_UNITS[meta["ts_unit"]]
+            vals = (seconds + TS_BASE_SECONDS) * unit_scale + nanos // (
+                1_000_000_000 // unit_scale
+            )
+            pieces.append(_scatter_numeric(vals, valid, n_rows, t))
+        elif enc == "float_raw":
+            np_t = np.float32 if t == pa.float32() else np.float64
+            vals = np.frombuffer(seg_raw("DATA", g), dtype=np_t)
+            pieces.append(_scatter_numeric(vals, valid, n_rows, t))
+        elif enc == "bool":
+            vals = bitfield.decode(seg_raw("DATA", g), n_vals)
+            pieces.append(_scatter_numeric(vals, valid, n_rows, t))
+        elif enc == "dict":
+            dlens, dblob, doffs = dict_arrays
+            codes = rlev2.decode(seg_raw("DATA", g), n_vals, signed=False)
+            row_lens = dlens[codes] if n_vals else np.zeros(0, dtype=np.int64)
+            starts = doffs[codes]
+            data_buf = _ragged_gather(dblob, starts, row_lens)
+            pieces.append(_build_binary(data_buf, row_lens, valid, n_rows, t))
+        elif enc in ("direct", "direct_fsst"):
+            row_lens = rlev2.decode(seg_raw("LENGTH", g), n_vals, signed=False)
+            body = seg_raw("DATA", g)
+            if fsst_table is not None:
+                body = fsst.decompress(body, fsst_table)
+            pieces.append(
+                _build_binary(np.frombuffer(body, np.uint8), row_lens, valid, n_rows, t)
+            )
+        elif enc in ("list", "map"):
+            counts = rlev2.decode(seg_raw("LENGTH", g), n_vals, signed=False)
+            sub_child = child.slice(int(child_offs[g]), int(counts.sum()))
+            pieces.append(_build_list(counts, sub_child, valid, n_rows, t))
+        else:
+            raise NotImplementedError(enc)
+    if len(pieces) == 1:
+        return pieces[0]
+    return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in pieces])
+
+
+def _slice_row_groups(arr: pa.Array, meta: dict, row_groups: list[int]) -> pa.Array:
+    ri = meta.get("row_index")
+    if ri is None:
+        return arr  # no index info: cannot prune, return whole
+    offs = np.concatenate(([0], np.cumsum([e["n_rows"] for e in ri]))).astype(np.int64)
+    pieces = [arr.slice(int(offs[g]), int(offs[g + 1] - offs[g])) for g in row_groups]
+    if len(pieces) == 1:
+        return pieces[0]
+    return pa.concat_arrays(pieces)
+
+
+def _decode_whole(streams: dict[str, bytes], meta: dict) -> pa.Array:
+    """Single-segment (legacy / nested-child) decode path."""
     codec = meta["codec"]
     n_rows = meta["n_rows"]
     n_nulls = meta["n_nulls"]
+    enc = meta["encoding"]
+    t = _parse_type(meta)
+
+    if enc == "struct":
+        return _decode_struct(streams, meta)
+
     raw = {
         k: block.decompress(v, codec)
         for k, v in streams.items()
         # child streams decompress recursively; bloom streams are index
         # metadata, not data — never needed to reconstruct values
-        if not k.startswith("CHILD_") and k != "BLOOM_FILTER_UTF8"
+        if not k.startswith("CHILD") and k != "BLOOM_FILTER_UTF8"
     }
 
     valid = None
     if n_nulls:
         valid = bitfield.decode(raw["PRESENT"], n_rows)
     n_vals = n_rows - n_nulls
-    enc = meta["encoding"]
-    t = _parse_type(meta)
 
     if enc == "rlev2":
         vals = rlev2.decode(raw["DATA"], n_vals, signed=True)
@@ -383,28 +708,86 @@ def decode_column(
     if enc in ("direct", "direct_fsst"):
         row_lens = rlev2.decode(raw["LENGTH"], n_vals, signed=False)
         if enc == "direct_fsst":
-            table, pos = fsst.SymbolTable.deserialize(raw["DATA"])
-            data = np.frombuffer(fsst.decompress(raw["DATA"][pos:], table), np.uint8)
+            if "FSST_TABLE" in raw:
+                table, _ = fsst.SymbolTable.deserialize(raw["FSST_TABLE"])
+                data = np.frombuffer(fsst.decompress(raw["DATA"], table), np.uint8)
+            else:  # legacy layout: table prefixed to DATA
+                table, pos = fsst.SymbolTable.deserialize(raw["DATA"])
+                data = np.frombuffer(fsst.decompress(raw["DATA"][pos:], table), np.uint8)
         else:
             data = np.frombuffer(raw["DATA"], np.uint8)
         return _build_binary(data, row_lens, valid, n_rows, t)
-    if enc == "list":
+    if enc in ("list", "map"):
         counts = rlev2.decode(raw["LENGTH"], n_vals, signed=False)
         child_streams = {
-            k[len("CHILD_"):]: v for k, v in streams.items() if k.startswith("CHILD_")
+            k[len("CHILD0_"):]: v for k, v in streams.items() if k.startswith("CHILD0_")
         }
         child = decode_column(child_streams, meta["child"])
-        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-        if valid is None:
-            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
-        full_offsets = np.zeros(n_rows + 1, dtype=np.int32)
-        full_offsets[1:][valid[:]] = counts
-        np.cumsum(full_offsets, out=full_offsets)
-        mask = pa.array(~valid)
-        return pa.ListArray.from_arrays(
-            pa.array(full_offsets, pa.int32()), child, mask=mask
-        )
+        return _build_list(counts, child, valid, n_rows, t)
     raise NotImplementedError(enc)
+
+
+def _decode_struct(streams: dict[str, bytes], meta: dict) -> pa.Array:
+    codec = meta["codec"]
+    n_rows = meta["n_rows"]
+    n_nulls = meta["n_nulls"]
+    valid = None
+    if n_nulls:
+        valid = bitfield.decode(block.decompress(streams["PRESENT"], codec), n_rows)
+    children = []
+    names = []
+    for i, child_meta in enumerate(meta["children"]):
+        prefix = f"CHILD{i}_"
+        child_streams = {
+            k[len(prefix):]: v for k, v in streams.items() if k.startswith(prefix)
+        }
+        children.append(decode_column(child_streams, child_meta))
+        names.append(child_meta["field_name"])
+    mask = pa.array(~valid) if valid is not None else None
+    children = [
+        c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in children
+    ]
+    return pa.StructArray.from_arrays(children, names=names, mask=mask)
+
+
+def _build_list(
+    counts: np.ndarray,
+    child: pa.Array,
+    valid: np.ndarray | None,
+    n_rows: int,
+    t: pa.DataType,
+) -> pa.Array:
+    if isinstance(child, pa.ChunkedArray):
+        child = child.combine_chunks()
+    if valid is None:
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        mask = None
+    else:
+        full = np.zeros(n_rows + 1, dtype=np.int32)
+        full[1:][valid[:]] = counts
+        np.cumsum(full, out=full)
+        offsets = full
+        mask = pa.array(~valid)
+    if pa.types.is_map(t):
+        out = pa.MapArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            child.field(0),
+            child.field(1),
+        )
+        if mask is not None:
+            # MapArray.from_arrays lacks a mask argument; rebuild validity
+            validity = pa.py_buffer(
+                np.packbits(valid, bitorder="little").tobytes()
+            )
+            out = pa.Array.from_buffers(
+                out.type,
+                n_rows,
+                [validity, out.buffers()[1]],
+                null_count=int((~valid).sum()),
+                children=[out.values],
+            )
+        return out
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child, mask=mask)
 
 
 def _parse_type(meta: dict) -> pa.DataType:
@@ -423,6 +806,14 @@ def _parse_type(meta: dict) -> pa.DataType:
     if s.startswith("list<") or s.startswith("large_list<"):
         child = _parse_type(meta["child"])
         return pa.list_(child)
+    if s.startswith("map<"):
+        child = _parse_type(meta["child"])  # struct<key, value>
+        return pa.map_(child.field(0).type, child.field(1).type)
+    if s.startswith("struct<"):
+        fields = [
+            pa.field(cm["field_name"], _parse_type(cm)) for cm in meta["children"]
+        ]
+        return pa.struct(fields)
     raise NotImplementedError(s)
 
 
@@ -485,8 +876,36 @@ def _build_binary(
     return pa.Array.from_buffers(t, n_rows, buffers, null_count=null_count)
 
 
+def pick_row_groups(footer: dict, predicate: tuple) -> list[int] | None:
+    """Evaluate a sarg predicate against each row group's stats; return
+    selected group indices, or None when every group survives (decode
+    whole).  The engine's ``RecordReaderImpl.pickRowGroups`` analog."""
+    from . import sarg as sarg_mod
+
+    per_col = [
+        (c["name"], c.get("row_index"))
+        for c in footer["columns"]
+    ]
+    indexed = [(n, ri) for n, ri in per_col if ri]
+    if not indexed:
+        return None
+    n_rgs = len(indexed[0][1])
+    selected = []
+    for g in range(n_rgs):
+        col_stats = {
+            name: ri[g]["stats"] for name, ri in indexed if g < len(ri)
+        }
+        if sarg_mod.keep(predicate, col_stats):
+            selected.append(g)
+    if len(selected) == n_rgs:
+        return None
+    return selected
+
+
 def decode_stripe(
-    streams: dict[tuple[str, str], bytes], footer: dict
+    streams: dict[tuple[str, str], bytes],
+    footer: dict,
+    row_groups: list[int] | None = None,
 ) -> pa.Table:
     from .. import runtime
 
@@ -496,6 +915,6 @@ def decode_stripe(
     for col_meta in footer["columns"]:
         name = col_meta["name"]
         col_streams = {kind: data for (cname, kind), data in streams.items() if cname == name}
-        cols.append(decode_column(col_streams, col_meta))
+        cols.append(decode_column(col_streams, col_meta, row_groups=row_groups))
         names.append(name)
     return pa.table(dict(zip(names, cols)))

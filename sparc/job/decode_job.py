@@ -21,7 +21,9 @@ from ..engine import stripe as stripe_mod
 from .encode_job import STREAMS_SCHEMA
 
 
-def _decode_partition_factory(columns: list[str] | None, verify_crc: bool):
+def _decode_partition_factory(
+    columns: list[str] | None, verify_crc: bool, predicate: tuple | None = None
+):
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         collected = list(batches)
         if not collected:  # empty shuffle partition
@@ -50,10 +52,20 @@ def _decode_partition_factory(columns: list[str] | None, verify_crc: bool):
                     expect = footer.get("crc32", {}).get(f"{c}/{k}")
                     if expect is not None and zlib.crc32(v) != expect:
                         raise ValueError(f"stripe {sid}: crc mismatch on {c}/{k}")
+            # row-group pruning over the FULL footer (the predicate may
+            # reference columns outside the projection) — the engine's
+            # pickRowGroups analog; only surviving groups are decompressed
+            row_groups = (
+                stripe_mod.pick_row_groups(footer, predicate)
+                if predicate is not None
+                else None
+            )
+            if row_groups == []:
+                continue  # every group refuted: stripe contributes nothing
             if columns:
                 footer = dict(footer)
                 footer["columns"] = [c for c in footer["columns"] if c["name"] in columns]
-            out = stripe_mod.decode_stripe(streams, footer)
+            out = stripe_mod.decode_stripe(streams, footer, row_groups=row_groups)
             yield from out.to_batches(max_chunksize=10_000)
 
     return decode_partition
@@ -67,7 +79,8 @@ def run_decode(
     schema_ddl: str | None = None,
     verify_crc: bool = False,
     n_partitions: int | None = None,
-    stripe_filter: tuple[str, object, object] | None = None,
+    stripe_filter: tuple | None = None,
+    rowgroup_prune: bool = True,
     cast_to: dict[str, str] | None = None,
 ) -> DataFrame:
     """Decode the streams table back to a DataFrame of the original schema.
@@ -90,6 +103,7 @@ def run_decode(
     the reference collapse into Spark's built-in cast matrix.
     """
     raw = read_streams(spark, streams_dir)
+    pred = None
     if stripe_filter is not None:
         pred = _as_predicate(stripe_filter)
         keep = prune_stripes_df(spark, streams_dir, pred)
@@ -103,7 +117,9 @@ def run_decode(
     if schema_ddl is None:
         schema_ddl = infer_schema_ddl(spark, streams_dir, columns)
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
-    fn = _decode_partition_factory(columns, verify_crc)
+    fn = _decode_partition_factory(
+        columns, verify_crc, predicate=pred if rowgroup_prune else None
+    )
     out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
     if cast_to:
         out = out.select(
@@ -194,7 +210,7 @@ def prune_stripes_bloom_df(
 
         for pdf in pdfs:
             miss = [
-                not bloom_mod.might_contain(bytes(b), value) for b in pdf["data"]
+                not bloom_mod.might_contain_any(bytes(b), value) for b in pdf["data"]
             ]
             yield pdf.loc[miss, ["stripe_id"]]
 

@@ -31,6 +31,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine import stripe as stripe_mod
+from ..engine.stripe import ROW_INDEX_STRIDE
 from . import partition as part_mod
 
 STREAMS_SCHEMA = "stripe_id long, column string, kind string, data binary"
@@ -57,6 +58,7 @@ def _encode_partition_factory(
     input_split_mode: bool = False,
     done_stripes: frozenset[int] = frozenset(),
     rows_per_stripe: int = 0,
+    row_index_stride: int | None = ROW_INDEX_STRIDE,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow function (no per-row Python anywhere inside).
 
@@ -68,7 +70,8 @@ def _encode_partition_factory(
         if sort_within:
             sub = sub.sort_by([(c, "ascending") for c in sort_within])
         streams, footer = stripe_mod.encode_stripe(
-            sub, codec=codec, bloom_columns=bloom_columns, fsst=fsst
+            sub, codec=codec, bloom_columns=bloom_columns, fsst=fsst,
+            row_index_stride=row_index_stride,
         )
         return _to_batch(streams, footer, sid)
 
@@ -193,6 +196,7 @@ def run_encode(
     n_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
     fsst: bool | None = None,
+    row_index_stride: int | None = ROW_INDEX_STRIDE,
 ) -> dict:
     """Run (or resume) the encode job.  Returns a summary dict.
 
@@ -217,6 +221,7 @@ def run_encode(
             codec, sort_within, fingerprint, bloom_columns, fsst,
             input_split_mode=True, done_stripes=done,
             rows_per_stripe=target_rows_per_stripe,
+            row_index_stride=row_index_stride,
         )
         df.mapInArrow(fn, schema=STREAMS_SCHEMA).write.mode("append").parquet(out_dir)
         return {"n_stripes": None, "skipped": len(done), "out_dir": out_dir}
@@ -241,7 +246,10 @@ def run_encode(
             staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
 
     parts = n_partitions or n_stripes
-    fn = _encode_partition_factory(codec, sort_within, fingerprint, bloom_columns, fsst)
+    fn = _encode_partition_factory(
+        codec, sort_within, fingerprint, bloom_columns, fsst,
+        row_index_stride=row_index_stride,
+    )
     out = (
         staged.repartition(parts, F.col(part_mod.STRIPE_COL))
         .mapInArrow(fn, schema=STREAMS_SCHEMA)
