@@ -580,6 +580,32 @@ def _rowgroup_prune_sql(sf: str = "") -> str:
     )
 
 
+def _schema_evolution_documents(spark, sf_dir):
+    """Reader-schema mapping end-to-end: encode documents, decode with a
+    reader schema that reorders, widens (n_chars long->double), drops
+    (text/source) and adds (quality double, null-filled) columns."""
+    import tempfile
+
+    from sparc.job import decode_job, encode_job
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sparc_evo_") + "/streams"
+    encode_job.run_encode(
+        docs, out, key="doc_id", strategy="hash", n_stripes=2, resume=False
+    )
+    return decode_job.run_decode(
+        spark, out,
+        reader_schema="lang string, doc_id long, n_chars double, quality double",
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+       CAST(NULL AS DOUBLE) AS quality
+FROM documents
+"""
+
+
 def _multimodal_features(spark, sf_dir):
     """Scalar metadata surface of the multimodal plumbing (value-checked);
     the array<float> feature column lives in extract_features and is
@@ -648,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": lambda s, d: _roundtrip_mismatches(s, d, "embeddings"),
         "roundtrip_structs": _roundtrip_structs,
         "rowgroup_prune_events": _rowgroup_prune_events,
+        "schema_evolution_documents": _schema_evolution_documents,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -682,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_embeddings": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM embeddings",
         "roundtrip_structs": _ROUNDTRIP_STRUCTS_SQL,
         "rowgroup_prune_events": _rowgroup_prune_sql(),
+        "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
         "text_profile": _text_profile_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

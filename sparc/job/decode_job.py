@@ -82,6 +82,9 @@ def run_decode(
     stripe_filter: tuple | None = None,
     rowgroup_prune: bool = True,
     cast_to: dict[str, str] | None = None,
+    reader_schema: str | None = None,
+    positional: bool = False,
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Decode the streams table back to a DataFrame of the original schema.
 
@@ -97,11 +100,23 @@ def run_decode(
     does not filter rows: apply the row predicate on the decoded
     DataFrame as usual (Catalyst handles it).
 
-    ``cast_to={column: spark_type_ddl}`` is the schema-evolution surface
-    (SURVEY.md §2.8): reader-schema conversions are Catalyst ``cast``s
-    applied after decode — the ~35 pairwise ConvertTreeReader readers of
-    the reference collapse into Spark's built-in cast matrix.
+    ``cast_to={column: spark_type_ddl}`` is the per-column conversion
+    surface (SURVEY.md §2.8): reader-schema conversions are Catalyst
+    ``cast``s applied after decode — the ~35 pairwise ConvertTreeReader
+    readers of the reference collapse into Spark's built-in cast matrix.
+
+    ``reader_schema`` (a DDL string) is full schema-evolution mapping
+    (``SchemaEvolution.buildConversion`` SchemaEvolution.java:445-573):
+    the reader schema is resolved against the file schema by name
+    (default; ``case_sensitive`` controls matching) or by position
+    (``positional=True``, the ForcePositionalEvolution analog).  Columns
+    present in the file but not the reader schema are dropped (and never
+    decoded — projection pushdown); reader columns missing from the file
+    are null-filled; type differences become Catalyst casts.  Mutually
+    exclusive with ``columns``/``cast_to``.
     """
+    if reader_schema is not None and (columns or cast_to):
+        raise ValueError("reader_schema is mutually exclusive with columns/cast_to")
     raw = read_streams(spark, streams_dir)
     pred = None
     if stripe_filter is not None:
@@ -110,6 +125,26 @@ def run_decode(
         # broadcast semi-join: the kept-stripe set is planner-scale metadata,
         # so pruning never shuffles the streams table itself
         raw = raw.join(F.broadcast(keep), "stripe_id", "left_semi")
+    evolution = None  # [(reader StructField, file column name | None), ...]
+    if reader_schema is not None:
+        from pyspark.sql.types import StructType
+
+        rfields = list(StructType.fromDDL(reader_schema).fields)
+        ffields = file_schema_fields(spark, streams_dir)
+
+        def norm(n: str) -> str:
+            return n if case_sensitive else n.lower()
+
+        if positional:
+            evolution = [
+                (rf, ffields[i][0] if i < len(ffields) else None)
+                for i, rf in enumerate(rfields)
+            ]
+        else:
+            fmap = {norm(n): n for n, _ in ffields}
+            evolution = [(rf, fmap.get(norm(rf.name))) for rf in rfields]
+        # only matched file columns are decoded (schema-mapped projection)
+        columns = [fn for _, fn in evolution if fn is not None]
     if columns:
         raw = raw.filter(
             F.col("column").isin(list(columns) + [""])  # keep FOOTER rows
@@ -130,7 +165,32 @@ def run_decode(
                 for f in out.schema.fields
             ]
         )
+    if evolution is not None:
+        out = out.select(
+            *[
+                F.col(fn).cast(rf.dataType).alias(rf.name)
+                if fn is not None
+                else F.lit(None).cast(rf.dataType).alias(rf.name)
+                for rf, fn in evolution
+            ]
+        )
     return out
+
+
+def file_schema_fields(spark: SparkSession, streams_dir: str) -> list[tuple[str, str]]:
+    """[(column name, spark DDL type), ...] in file order, from one footer
+    (planner-scale metadata read, like the reference's file-tail parse)."""
+    row = (
+        read_streams(spark, streams_dir)
+        .filter(F.col("kind") == "FOOTER")
+        .select("data")
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise ValueError(f"no FOOTER rows in {streams_dir}")
+    footer = json.loads(bytes(row[0][0]).decode())
+    return [(c["name"], _ddl_type(c)) for c in footer["columns"]]
 
 
 def read_streams(spark: SparkSession, streams_dir: str) -> DataFrame:
@@ -285,6 +345,14 @@ def _ddl_type(col_meta: dict) -> str:
         return _ARROW_TO_DDL[t]
     if t.startswith(("list<", "large_list<")):
         return f"array<{_ddl_type(col_meta['child'])}>"
+    if t.startswith("map<"):
+        kv = col_meta["child"]["children"]  # struct<key, value> children
+        return f"map<{_ddl_type(kv[0])}, {_ddl_type(kv[1])}>"
+    if t.startswith("struct<"):
+        fields = ", ".join(
+            f"`{c['field_name']}`: {_ddl_type(c)}" for c in col_meta["children"]
+        )
+        return f"struct<{fields}>"
     raise NotImplementedError(t)
 
 
