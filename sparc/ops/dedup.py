@@ -23,9 +23,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Groups of byte-identical documents: (keeper_id, n_copies) per text."""
+    """Groups of byte-identical documents: (keeper_id, n_copies) per text.
+
+    Hash-first: the shuffle key is sha2(text) computed map-side, and the
+    text column is projected away BEFORE the exchange — the aggregation
+    moves 32-byte digests + ids, never the corpus.  (sha256 collisions
+    are cryptographically negligible; a paranoid caller can verify
+    within-group equality on the surviving duplicate groups, a tiny
+    fraction of the data.)"""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
     return (
-        df.groupBy(text_col)
+        hashed.groupBy("__h")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -36,12 +44,18 @@ def exact_duplicates(
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the min-id representative of each distinct text."""
-    w = F.min(id_col).alias("keeper")
-    keepers = df.groupBy(text_col).agg(w)
-    return df.join(
-        keepers, (df[text_col] == keepers[text_col]) & (df[id_col] == keepers["keeper"])
-    ).select(df["*"])
+    """Keep the min-id representative of each distinct text.
+
+    Keeper selection runs over (digest, id) pairs only; full rows join
+    the keeper-id set on the 8-byte id key, so document bytes cross the
+    exchange exactly once (as join payload, never as join key)."""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
+    keeper_ids = (
+        hashed.groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keeper_ids, id_col, "left_semi")
 
 
 def _shingles(text_col: str, n: int = 3, max_shingles: int = 512):

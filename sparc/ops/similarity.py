@@ -4,10 +4,14 @@
   JVM-side ``aggregate(zip_with(...))`` — no Python in the plan.  The
   query side is broadcast; the corpus side streams, so the plan scales
   linearly with corpus size (no shuffle of the corpus at all).
-- LSH-bucketed (random hyperplane) ANN: the 100TB path — sign-bit bucket
-  join prunes the corpus to matching buckets before exact rescoring.
-  Hyperplanes are deterministic literals (seeded numpy), embedded in the
-  plan, so two runs (or two cluster sizes) see identical buckets.
+- banded hyperplane LSH ANN: the 100TB path — B independent band tables
+  of P sign-bit planes each; a pair is a candidate if it collides in ANY
+  band, so per-band buckets stay small (the self-join inside a bucket is
+  bounded, never ~(N/buckets)^2 over one giant table) while recall for
+  high-similarity pairs stays near 1 (1-(1-p^P)^B).  Degenerate hot
+  buckets are dropped by a population cap (skew guard).  Hyperplanes are
+  deterministic literals (seeded numpy), embedded in the plan, so two
+  runs (or two cluster sizes) see identical buckets.
 """
 
 from __future__ import annotations
@@ -79,33 +83,73 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket.cast("long")
 
 
+def _banded_buckets(
+    df: DataFrame, id_alias: str, vec_alias: str, dim: int,
+    n_bands: int, planes_per_band: int, seed: int,
+) -> DataFrame:
+    """(id, vector, band, bucket) with one row per band — the banded
+    multi-table hyperplane LSH structure (same shape as the MinHash band
+    join): a pair is a candidate if it shares a bucket in ANY band, so
+    per-band buckets can stay small (2^planes_per_band per band) without
+    tanking recall.  Planes are deterministic literals: two runs (or two
+    cluster sizes) see identical buckets."""
+    frames = []
+    for b in range(n_bands):
+        planes = hyperplanes(dim, planes_per_band, seed + 1000 * b)
+        frames.append(
+            df.select(
+                id_alias,
+                vec_alias,
+                F.lit(b).alias("band"),
+                lsh_bucket_col(F.col(vec_alias), planes).alias("bucket"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
     seed: int = 42,
     round_to: int = 4,
 ) -> DataFrame:
-    """ANN top-k: bucket join on hyperplane sign bits, exact rescoring inside
-    the bucket.  Recall < 1.0 by design; bucket count 2^n_planes."""
-    sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(sample["d"])
-    planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_bucket_col(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", lsh_bucket_col(F.col("qv"), planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    """ANN top-k: banded hyperplane LSH candidate join + exact rescoring.
+
+    The corpus streams through a broadcast join against the (small) query
+    side's per-band buckets — no corpus shuffle; candidate dedup happens
+    on (query_id, corpus_id) before scoring so each pair is scored once
+    regardless of how many bands it collides in."""
+    dim = int(corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    c = _banded_buckets(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        "corpus_id", "cv", dim, n_bands, planes_per_band, seed,
+    )
+    q = _banded_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        "query_id", "qv", dim, n_bands, planes_per_band, seed,
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("sim", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.first("cv").alias("cv"), F.first("qv").alias("qv"))
+    )
+    scored = cand.withColumn(
+        "sim", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
     return (
@@ -121,21 +165,46 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
     seed: int = 42,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH buckets + exact cosine."""
-    planes = None
-    sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = hyperplanes(int(sample["d"]), n_planes, seed)
-    v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    """Embedding near-duplicate pairs via banded LSH + exact cosine.
+
+    Self-join happens only within a (band, bucket); per-band buckets are
+    small by construction and ``bucket_cap`` drops degenerate buckets
+    (e.g. a zero-vector pile-up) before they go quadratic — the same
+    skew guard as the stop-shingle filter in ngram_jaccard_pairs.  Pairs
+    are deduped across bands before the exact rescoring."""
+    dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    v = _banded_buckets(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        "id", "v", dim, n_bands, planes_per_band, seed,
+    )
+    hot = (
+        v.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+    )
+    v = v.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("sim", _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
+        cand.withColumn(
+            "sim", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
         .filter(F.col("sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round("sim", 4).alias("sim"))
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
