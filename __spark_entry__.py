@@ -580,6 +580,52 @@ def _rowgroup_prune_sql(sf: str = "") -> str:
     )
 
 
+def _orc_crossread_documents(spark, sf_dir):
+    """Reference cross-read gate: each partition writes a REAL ORC file
+    with the engine's own kernels (sparc.engine.orcfile — RLEv2, sorted
+    dictionaries, PRESENT bitfields, hand-built protobuf tail), then the
+    reference reader itself (Spark's bundled orc-core Java reader) reads
+    the files back; mismatches must be zero.  Local-mode note: executors
+    and driver share a filesystem, so a tempdir sink is valid here."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="sparc_orcx_")
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from sparc.engine import orcfile
+
+        got = list(batches)
+        if not got:
+            return
+        t = pa.Table.from_batches(got)
+        pid = TaskContext.get().partitionId()
+        orcfile.write_orc(t, os.path.join(out_dir, f"part-{pid:05d}.orc"))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([t.num_rows], pa.int64())], names=["n"]
+        )
+
+    n_written = (
+        docs.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
+    )
+    back = spark.read.orc(out_dir).select(*docs.columns)
+    n_mismatch = docs.exceptAll(back).count() + back.exceptAll(docs).count()
+    return spark.createDataFrame(
+        [(int(n_written), int(n_mismatch))], "n_rows long, n_mismatch long"
+    )
+
+
+_ORC_CROSSREAD_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch "
+    "FROM documents"
+)
+
+
 def _schema_evolution_documents(spark, sf_dir):
     """Reader-schema mapping end-to-end: encode documents, decode with a
     reader schema that reorders, widens (n_chars long->double), drops
@@ -675,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_structs": _roundtrip_structs,
         "rowgroup_prune_events": _rowgroup_prune_events,
         "schema_evolution_documents": _schema_evolution_documents,
+        "orc_crossread_documents": _orc_crossread_documents,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -710,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_structs": _ROUNDTRIP_STRUCTS_SQL,
         "rowgroup_prune_events": _rowgroup_prune_sql(),
         "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
+        "orc_crossread_documents": _ORC_CROSSREAD_SQL,
         "text_profile": _text_profile_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

@@ -23,10 +23,57 @@ import sys
 import time
 from collections.abc import Iterator
 
+# Pre-fault each worker's heap once at spawn (sparc/runtime.py): in the
+# host's bad memory windows anonymous first-touch faults cost ~0.5 ms each
+# and ONLY hit fault-heavy processes (Python workers; the JVM's reused
+# heap is immune), inflating identical warm encodes 3.3 s -> 30 s.
+os.environ.setdefault("SPARC_WARM_HEAP_BYTES", str(256 << 20))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("SPARC_BENCH_CACHE", "/tmp/sparc_bench")
 ROWS_OVERRIDE = os.environ.get("SPARC_BENCH_ROWS")
+
+
+def proc_tree_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime, plus reaped children) of this
+    process and every live descendant — the bench driver, the Spark JVM,
+    and all Python workers.  Reading /proc makes the accounting identical
+    for both systems under test (our Python-worker encode vs the JVM-side
+    ORC writer), which wall-clock alone is not on a host whose clock
+    swings 2-4x between windows."""
+    clk = os.sysconf("SC_CLK_TCK")
+    ppid: dict[int, int] = {}
+    times: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                parts = f.read().rsplit(b") ", 1)[1].split()
+        except OSError:
+            continue
+        pid = int(d)
+        ppid[pid] = int(parts[1])
+        times[pid] = (
+            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+        ) / clk
+    kids: dict[int, list[int]] = {}
+    for pid, pp in ppid.items():
+        kids.setdefault(pp, []).append(pid)
+    total = 0.0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += times.get(p, 0.0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _sf_from_dir(d: str) -> float:
@@ -131,59 +178,115 @@ def main() -> None:
 
     from sparc.job import decode_job, encode_job
 
-    # ---- headline: encode the pages table ---------------------------------
-    # Two timed runs: "cold" pays the per-worker-process first-touch page
-    # faults of this sandbox's VM (fresh Python workers); "warm" reuses the
-    # same long-lived workers, which is the representative regime at scale
-    # (a production worker encodes thousands of stripes, not one).  The
-    # headline metric is the warm run; cold is reported alongside.
+    # ---- headline: encode A/B, interleaved --------------------------------
+    # Protocol (round-2 fix for the round-1 measurement dispute): one
+    # unrecorded warmup of EACH system, then N_AB recorded rounds strictly
+    # alternating ours/reference, reporting MEDIANS of wall time and of
+    # process-tree CPU seconds.  Interleaving means any host-wide slowdown
+    # hits both systems equally; core-seconds make the comparison
+    # clock-independent.
     df = spark.read.parquet(pages_path)
-    # hash stripes + in-stripe (lang, warc_ts) sort: measured equal
-    # compression to lang-salted clustering (the sort already groups
-    # languages inside each stripe) at ~4x the throughput; lang_salted
-    # remains the strategy for lang-partitioned layouts (tested in CI)
-    # >=4 stripes/core: bounds each worker's resident footprint and matches
-    # the many-stripes-per-executor shape of a real cluster run
-    n_stripes = max(CPUS * 4, (raw >> 27))
-    enc_walls = []
-    for attempt in ("cold", "warm"):
-        out_dir = os.path.join(CACHE, f"streams_{CPUS}_{n_rows}_{attempt}")
+    # ~32 MiB stripes, at least one per core: the closest this input size
+    # gets to the production shape (big stripes compress better AND cost
+    # less per-stripe overhead: measured 404 B/row @32 stripes vs 412
+    # @128 on the same GiB).  No in-stripe sort: with the 4 MiB codec
+    # window the (lang, warc_ts) locality sort no longer changes size
+    # (404.0 vs 404.1 B/row measured) and costs ~20% encode CPU.
+    n_stripes = max(CPUS, (raw >> 25))
+    n_ab = int(os.environ.get("SPARC_BENCH_AB_ROUNDS", "3"))
+
+    def run_ours(tag: str) -> str:
+        out_dir = os.path.join(CACHE, f"streams_{CPUS}_{n_rows}_{tag}")
         shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
         encode_job.run_encode(
             df,
             out_dir,
             strategy="hash",
             n_stripes=n_stripes,
-            sort_within=["lang", "warc_ts"],
             fingerprint=f"bench-{n_rows}",
             resume=False,
         )
-        enc_walls.append(time.perf_counter() - t0)
-    enc_wall = enc_walls[-1]
-    timings["encode_pages_cold"] = round(enc_walls[0], 3)
-    timings["encode_pages"] = round(enc_wall, 3)
-    extras["encode_gbps_cold"] = round(raw / enc_walls[0] / 1e9, 4)
-    extras["encode_gbps"] = round(raw / enc_wall / 1e9, 4)
-    ours_bytes = dir_bytes(out_dir)
-    extras["ours_bytes_per_row"] = round(ours_bytes / n_rows, 2)
+        return out_dir
 
-    # ---- reference: Spark's bundled orc-core writer, zstd (cold + warm) ---
-    ref_walls = []
-    for attempt in ("cold", "warm"):
-        ref_dir = os.path.join(CACHE, f"ref_orc_{n_rows}_{attempt}")
+    def run_input(tag: str) -> str:
+        # shuffle-free "input" strategy (stripe = input split): the 100 TB
+        # fast path; also the robust one in this host's bad memory windows
+        # (bounded per-worker footprint, no shuffle materialization)
+        inp_dir = os.path.join(CACHE, f"streams_in_{CPUS}_{n_rows}_{tag}")
+        shutil.rmtree(inp_dir, ignore_errors=True)
+        encode_job.run_encode(
+            df, inp_dir, strategy="input",
+            target_rows_per_stripe=max(n_rows // n_stripes, 1),
+            fingerprint=f"bench-in-{n_rows}", resume=False,
+        )
+        return inp_dir
+
+    def run_ref(tag: str) -> str:
+        ref_dir = os.path.join(CACHE, f"ref_orc_{n_rows}_{tag}")
         shutil.rmtree(ref_dir, ignore_errors=True)
-        t0 = time.perf_counter()
         df.write.option("compression", "zstd").orc(ref_dir)
-        ref_walls.append(time.perf_counter() - t0)
-    ref_wall = ref_walls[-1]
-    timings["reference_orc_write_cold"] = round(ref_walls[0], 3)
+        return ref_dir
+
+    def timed(fn, tag):
+        c0 = proc_tree_cpu_seconds()
+        t0 = time.perf_counter()
+        path = fn(tag)
+        wall = time.perf_counter() - t0
+        cpu = proc_tree_cpu_seconds() - c0
+        return wall, cpu, path
+
+    cold_ours, _, _ = timed(run_ours, "warmup")
+    cold_ref, _, _ = timed(run_ref, "warmup")
+    ours_walls, ours_cpus, ref_walls, ref_cpus = [], [], [], []
+    inp_walls, inp_cpus = [], []
+    max_ab = int(os.environ.get("SPARC_BENCH_AB_MAX", str(n_ab + 3)))
+    i = 0
+    while i < n_ab or (
+        # the host's wall clock swings 2-4x between windows (see
+        # BENCH/BASELINE.md): when a window is unstable, keep alternating
+        # (up to max_ab) so the medians are taken over a usable sample
+        i < max_ab
+        and max(ours_walls) / max(min(ours_walls), 1e-9) > 2.0
+    ):
+        w, c, out_dir = timed(run_ours, f"ab{i}")
+        ours_walls.append(w)
+        ours_cpus.append(c)
+        w, c, inp_dir = timed(run_input, f"ab{i}")
+        inp_walls.append(w)
+        inp_cpus.append(c)
+        w, c, ref_dir = timed(run_ref, f"ab{i}")
+        ref_walls.append(w)
+        ref_cpus.append(c)
+        i += 1
+
+    enc_wall, ref_wall = _median(ours_walls), _median(ref_walls)
+    enc_cpu, ref_cpu = _median(ours_cpus), _median(ref_cpus)
+    timings["encode_pages_cold"] = round(cold_ours, 3)
+    timings["encode_pages"] = round(enc_wall, 3)
+    timings["reference_orc_write_cold"] = round(cold_ref, 3)
     timings["reference_orc_write"] = round(ref_wall, 3)
+    extras["encode_walls"] = [round(x, 3) for x in ours_walls]
+    extras["ref_walls"] = [round(x, 3) for x in ref_walls]
+    extras["encode_gbps_cold"] = round(raw / cold_ours / 1e9, 4)
+    extras["encode_gbps"] = round(raw / enc_wall / 1e9, 4)
+    extras["ref_gbps"] = round(raw / ref_wall / 1e9, 4)
+    gib = raw / (1 << 30)
+    extras["ours_core_s_per_gib"] = round(enc_cpu / gib, 2)
+    extras["ref_core_s_per_gib"] = round(ref_cpu / gib, 2)
+    extras["encode_vs_reference_wall"] = round(enc_wall / ref_wall, 4)
+    extras["encode_vs_reference_cpu"] = round(enc_cpu / max(ref_cpu, 1e-9), 4)
+    inp_wall, inp_cpu = _median(inp_walls), _median(inp_cpus)
+    timings["encode_pages_input"] = round(inp_wall, 3)
+    extras["input_walls"] = [round(x, 3) for x in inp_walls]
+    extras["encode_gbps_input"] = round(raw / inp_wall / 1e9, 4)
+    extras["input_core_s_per_gib"] = round(inp_cpu / gib, 2)
+    extras["input_vs_reference_wall"] = round(inp_wall / ref_wall, 4)
+    ours_bytes = dir_bytes(out_dir)
     ref_bytes = dir_bytes(ref_dir)
+    extras["ours_bytes_per_row"] = round(ours_bytes / n_rows, 2)
     extras["ref_bytes_per_row"] = round(ref_bytes / n_rows, 2)
     extras["size_vs_reference"] = round(ours_bytes / ref_bytes, 4)
-    extras["ref_gbps"] = round(raw / ref_wall / 1e9, 4)
-    extras["encode_vs_reference_wall"] = round(enc_wall / ref_wall, 4)
+    extras["input_bytes_per_row"] = round(dir_bytes(inp_dir) / n_rows, 2)
 
     # ---- decode the pages table back (cold + warm) ------------------------
     dec_walls = []

@@ -105,7 +105,7 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         ).parquet(staged_path)
 
     job_walls, stage_walls = [], []
-    fn = encode_job._encode_partition_factory("zstd", ["lang", "warc_ts"], "scale")
+    fn = encode_job._encode_partition_factory("zstd", None, "scale")
     for r in range(RUNS + 1):  # first run warms workers, untimed
         # full job
         out_dir = os.path.join(CACHE, f"scale_job_{cpus}_{r}")
@@ -113,7 +113,7 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         t0 = time.perf_counter()
         encode_job.run_encode(
             df, out_dir, strategy="hash", n_stripes=n_stripes,
-            sort_within=["lang", "warc_ts"], fingerprint="scale", resume=False,
+            fingerprint="scale", resume=False,
         )
         w_job = time.perf_counter() - t0
         shutil.rmtree(out_dir, ignore_errors=True)

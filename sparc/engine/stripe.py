@@ -48,7 +48,8 @@ from . import stats as stats_mod
 TS_BASE_SECONDS = 1_420_070_400
 
 DICT_CHECK_ROWS = 10_000  # ROW_INDEX_STRIDE_DICTIONARY_CHECK analog
-FSST_MIN_WIN = 0.90  # pre-codec sample ratio gate (see _encode_binary_like)
+FSST_MIN_WIN = 0.90  # pre-codec sample gate (forced mode; see _encode_binary_like)
+FSST_POST_GATE = 0.90  # auto mode: required post-codec sample win
 
 # orc.row.index.stride default; must stay a multiple of 8 so PRESENT /
 # bool bitfield segments stay byte-aligned at every group boundary
@@ -56,14 +57,17 @@ ROW_INDEX_STRIDE = 10_000
 
 
 def _fsst_enabled() -> bool:
-    """SPARC_FSST=0 switches to speed mode: strings go raw+zstd like the
-    reference (which has no FSST), trading ~2% total size for ~2x encode
-    throughput.  The encodingStrategy SPEED/COMPRESSION analog."""
+    """SPARC_FSST=0 disables the FSST candidate entirely (never probed);
+    default auto mode probes a sample and uses FSST only on a measured
+    post-codec win (see _encode_binary_like)."""
     import os
 
     return os.environ.get("SPARC_FSST", "1") != "0"
 FSST_MAX_AVG_LEN = 4096  # strings only; big blobs go straight to zstd
-FSST_SAMPLE = 1 << 15
+FSST_SAMPLE = 1 << 17  # auto-gate probe sample (one codec window either way)
+# auto mode probes only streams big enough for a win to matter — the probe
+# itself costs ~0.2 CPU s, pure overhead on small stripes
+FSST_PROBE_MIN = 8 << 20
 
 _TS_UNITS = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
@@ -352,18 +356,30 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     byte_offs = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     fsst_on = _fsst_enabled() if fsst_opt is None else fsst_opt
+    probe_min = 4096 if fsst_opt is True else FSST_PROBE_MIN
     table = None
-    if fsst_on and len(data_buf) >= 4096 and is_str and avg_len <= FSST_MAX_AVG_LEN:
-        # Decision is on the PRE-block-codec ratio: comparing post-zstd
-        # sizes on a small sample is biased against FSST (an FSST'd 256 KiB
-        # chunk holds ~2x the original content, which zstd only exploits at
-        # full-chunk scale — measured: sample-level post-zstd ratio ~1.02
-        # vs full-stream 0.78-0.91).  A pre-codec ratio < FSST_MIN_WIN
-        # empirically predicts a post-codec win on web text/urls.
+    if fsst_on and len(data_buf) >= probe_min and is_str and avg_len <= FSST_MAX_AVG_LEN:
+        # Auto mode decides on the measured POST-codec sample win: with
+        # the 4 MiB block chunk, a 128 KiB sample fits one codec window
+        # both raw and FSST'd, so zstd(fsst(sample))/zstd(sample) is an
+        # unbiased estimate of the full-stream ratio.  (With the old
+        # 256 KiB chunks FSST looked better than it was: it packed ~2x
+        # content per window, a win big windows now capture directly —
+        # measured: url stream 1.41 MB @256K -> 0.51 MB @4M raw vs
+        # 1.05 MB FSST'd, at ~1/10 the encode CPU.)  Forced mode
+        # (fsst=True) keeps the optimistic pre-codec gate for callers
+        # that want maximum compression attempts regardless of CPU.
         sample = bytes(data_buf[:FSST_SAMPLE])
         cand = fsst.train(sample)
-        if len(fsst.compress(sample, cand)) < FSST_MIN_WIN * len(sample):
-            table = cand
+        sample_enc = fsst.compress(sample, cand)
+        if fsst_opt is True:
+            if len(sample_enc) < FSST_MIN_WIN * len(sample):
+                table = cand
+        else:
+            post_fsst = len(block.compress(sample_enc, enc.codec))
+            post_raw = len(block.compress(sample, enc.codec))
+            if post_fsst < FSST_POST_GATE * post_raw:
+                table = cand
 
     enc.seg_streams["LENGTH"] = []
     enc.seg_streams["DATA"] = []

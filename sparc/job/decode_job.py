@@ -14,6 +14,7 @@ import json
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,17 +35,26 @@ def _decode_partition_factory(
         sids = table["stripe_id"]
         for sid in pa.compute.unique(sids).to_pylist():
             sub = table.filter(pa.compute.equal(sids, sid))
-            streams: dict[tuple[str, str], bytes] = {}
+            # zero-copy stream access: blobs stay in the Arrow buffer as
+            # memoryview slices instead of being materialized as Python
+            # bytes (a full extra copy of every stream per stripe)
+            data_arr = sub["data"].combine_chunks().cast(pa.large_binary())
+            bufs = data_arr.buffers()
+            offs = np.frombuffer(
+                bufs[1], dtype=np.int64, count=len(data_arr) + 1,
+                offset=data_arr.offset * 8,
+            )
+            data_mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+            streams: dict[tuple[str, str], memoryview] = {}
             footer = None
-            for col, kind, data in zip(
-                sub["column"].to_pylist(),
-                sub["kind"].to_pylist(),
-                sub["data"].to_pylist(),
+            for i, (col, kind) in enumerate(
+                zip(sub["column"].to_pylist(), sub["kind"].to_pylist())
             ):
+                blob = data_mv[offs[i] : offs[i + 1]]
                 if kind == "FOOTER":
-                    footer = json.loads(data.decode())
+                    footer = json.loads(bytes(blob).decode())
                 else:
-                    streams[(col, kind)] = data
+                    streams[(col, kind)] = blob
             if footer is None:
                 raise ValueError(f"stripe {sid}: FOOTER row missing (incomplete)")
             if verify_crc:

@@ -318,9 +318,13 @@ def _prepare_patched(v: np.ndarray, vmin: int, aligned: bool) -> dict | None:
     need = bits_required(br)
     patch_pos = np.flatnonzero(need > data_width)
     if patch_pos.size == 0:
-        # pure FoR: all values fit data_width at bits100
+        # pure FoR: all values fit data_width at bits100.  The spec (and
+        # the reference decoder) require pl >= 1, so emit one no-op patch
+        # entry (gap 0, patch 0 — ORs nothing into data[0]); this keeps
+        # the stream decodable by ANY conformant ORC reader (verified via
+        # the orcfile cross-read) at a one-byte cost.
         data_width = closest_fixed_bits(bits100, aligned)
-        entries: list[tuple[int, int]] = []
+        entries: list[tuple[int, int]] = [(0, 0)]
         patch_width = 1
         gap_width = 1
         entry_width = closest_fixed_bits(2)
