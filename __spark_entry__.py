@@ -580,6 +580,45 @@ def _rowgroup_prune_sql(sf: str = "") -> str:
     )
 
 
+def _roundtrip_decimal(spark, sf_dir):
+    """Decimal64 columns (unscaled int64 + RLEv2) through the real stripe
+    engine; mismatches must be zero."""
+    import pyarrow as pa
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        F.when(F.col("l_linenumber") % 7 == 0, None)
+        .otherwise(F.col("l_discount"))
+        .cast("decimal(6,4)")
+        .alias("disc"),
+    )
+
+    def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from sparc.engine import stripe as stripe_mod
+
+        got = list(batches)
+        if not got:
+            return
+        t = pa.Table.from_batches(got)
+        streams, footer = stripe_mod.encode_stripe(t)
+        out = stripe_mod.decode_stripe(streams, footer)
+        yield from out.to_batches(max_chunksize=10_000)
+
+    decoded = li.mapInArrow(rt, schema=li.schema)
+    n_mismatch = li.exceptAll(decoded).count() + decoded.exceptAll(li).count()
+    return spark.createDataFrame(
+        [(li.count(), n_mismatch)], "n_rows long, n_mismatch long"
+    )
+
+
+_ROUNDTRIP_DECIMAL_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch "
+    "FROM lineitem"
+)
+
+
 def _orc_crossread_documents(spark, sf_dir):
     """Reference cross-read gate: each partition writes a REAL ORC file
     with the engine's own kernels (sparc.engine.orcfile — RLEv2, sorted
@@ -719,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": lambda s, d: _roundtrip_mismatches(s, d, "lineitem"),
         "roundtrip_embeddings": lambda s, d: _roundtrip_mismatches(s, d, "embeddings"),
         "roundtrip_structs": _roundtrip_structs,
+        "roundtrip_decimal": _roundtrip_decimal,
         "rowgroup_prune_events": _rowgroup_prune_events,
         "schema_evolution_documents": _schema_evolution_documents,
         "orc_crossread_documents": _orc_crossread_documents,
@@ -755,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM lineitem",
         "roundtrip_embeddings": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM embeddings",
         "roundtrip_structs": _ROUNDTRIP_STRUCTS_SQL,
+        "roundtrip_decimal": _ROUNDTRIP_DECIMAL_SQL,
         "rowgroup_prune_events": _rowgroup_prune_sql(),
         "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
         "orc_crossread_documents": _ORC_CROSSREAD_SQL,

@@ -97,7 +97,11 @@ def might_contain_any(blob: bytes, value) -> bool:
 
 def might_contain_rg(blob: bytes, value, g: int) -> bool:
     """Row-group-level probe; out-of-range groups cannot be skipped."""
-    blobs = unpack_multi(blob)
+    return might_contain_rg_list(unpack_multi(blob), value, g)
+
+
+def might_contain_rg_list(blobs: list[bytes], value, g: int) -> bool:
+    """Probe pre-unpacked per-group filters (cannot skip out of range)."""
     return True if g >= len(blobs) else might_contain(blobs[g], value)
 
 

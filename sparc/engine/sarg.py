@@ -104,9 +104,11 @@ def _with_null(tv: frozenset, has_null: bool) -> frozenset:
     return tv | IS_NULL if has_null else tv
 
 
-def _eval_leaf(pred: tuple, stats: dict | None) -> frozenset:
+def _eval_leaf(pred: tuple, stats: dict | None, probe=None) -> frozenset:
     """Evaluate one leaf against one column's stats dict
-    ({min, max, n_nulls, n_values, kind})."""
+    ({min, max, n_nulls, n_values, kind}).  ``probe`` is an optional
+    membership refuter (bloom filter: probe(v) False => definitely
+    absent) consulted when min/max alone cannot refute an equality."""
     if stats is None:
         return CANNOT_SKIP
     op = pred[0]
@@ -127,6 +129,8 @@ def _eval_leaf(pred: tuple, stats: dict | None) -> frozenset:
             vals = [_normalize(v, lo, hi, stats.get("kind")) for v in pred[2]]
             if not vals or all(_definitely_out(p, l, h) for p, l, h in vals):
                 return _with_null(NO, has_null)
+            if probe is not None and not any(probe(v) for v in pred[2]):
+                return _with_null(NO, has_null)  # bloom: none present
             s_lo, s_hi = vals[0][1], vals[0][2]
             if s_hi is not None and s_lo == s_hi and any(p == s_lo for p, _, _ in vals):
                 return _with_null(YES, has_null)  # constant region, value hit
@@ -139,35 +143,37 @@ def _eval_leaf(pred: tuple, stats: dict | None) -> frozenset:
             if s_lo >= p_lo and (s_hi is not None and s_hi <= p_hi):
                 return _with_null(YES, has_null)
             return _with_null(YES_NO, has_null)
-        probe, s_lo, s_hi = _normalize(pred[2], lo, hi, stats.get("kind"))
+        probe_v, s_lo, s_hi = _normalize(pred[2], lo, hi, stats.get("kind"))
         if op == "=":
-            if _definitely_out(probe, s_lo, s_hi):
+            if _definitely_out(probe_v, s_lo, s_hi):
                 return _with_null(NO, has_null)
-            if s_lo == s_hi == probe:
+            if s_lo == s_hi == probe_v:
                 return _with_null(YES, has_null)
+            if probe is not None and not probe(pred[2]):
+                return _with_null(NO, has_null)  # bloom: definitely absent
             return _with_null(YES_NO, has_null)
         if op == "<":
-            if s_hi is not None and s_hi < probe:
+            if s_hi is not None and s_hi < probe_v:
                 return _with_null(YES, has_null)
-            if s_lo >= probe:
+            if s_lo >= probe_v:
                 return _with_null(NO, has_null)
             return _with_null(YES_NO, has_null)
         if op == "<=":
-            if s_hi is not None and s_hi <= probe:
+            if s_hi is not None and s_hi <= probe_v:
                 return _with_null(YES, has_null)
-            if s_lo > probe:
+            if s_lo > probe_v:
                 return _with_null(NO, has_null)
             return _with_null(YES_NO, has_null)
         if op == ">":
-            if s_lo > probe:
+            if s_lo > probe_v:
                 return _with_null(YES, has_null)
-            if s_hi is not None and s_hi <= probe:
+            if s_hi is not None and s_hi <= probe_v:
                 return _with_null(NO, has_null)
             return _with_null(YES_NO, has_null)
         if op == ">=":
-            if s_lo >= probe:
+            if s_lo >= probe_v:
                 return _with_null(YES, has_null)
-            if s_hi is not None and s_hi < probe:
+            if s_hi is not None and s_hi < probe_v:
                 return _with_null(NO, has_null)
             return _with_null(YES_NO, has_null)
     except (TypeError, ValueError):
@@ -179,27 +185,41 @@ def _definitely_out(probe, s_lo, s_hi) -> bool:
     return probe < s_lo or (s_hi is not None and probe > s_hi)
 
 
-def evaluate(pred: tuple, column_stats: dict[str, dict]) -> frozenset:
-    """Evaluate a predicate tree against {column: stats dict}."""
+def evaluate(
+    pred: tuple, column_stats: dict[str, dict], probes: dict | None = None
+) -> frozenset:
+    """Evaluate a predicate tree against {column: stats dict}.
+
+    ``probes`` optionally maps column -> membership refuter (bloom:
+    callable(v) returning False only when v is definitely absent),
+    consulted for =/IN leaves the stats alone cannot refute — the
+    ``checkInBloomFilter`` layer (RecordReaderImpl.java:932-978).
+
+    NOTE on NOT: a bloom-refuted leaf returns a *definite* NO, so NOT
+    over it is sound (NO -> YES is correct when the value truly isn't
+    there)."""
     op = pred[0]
     if op == "and":
         tv = YES
         for child in pred[1:]:
-            tv = and_(tv, evaluate(child, column_stats))
+            tv = and_(tv, evaluate(child, column_stats, probes))
         return tv
     if op == "or":
         tv = NO
         for child in pred[1:]:
-            tv = or_(tv, evaluate(child, column_stats))
+            tv = or_(tv, evaluate(child, column_stats, probes))
         return tv
     if op == "not":
-        return not_(evaluate(pred[1], column_stats))
-    return _eval_leaf(pred, column_stats.get(pred[1]))
+        return not_(evaluate(pred[1], column_stats, probes))
+    probe = probes.get(pred[1]) if probes else None
+    return _eval_leaf(pred, column_stats.get(pred[1]), probe)
 
 
-def keep(pred: tuple, column_stats: dict[str, dict]) -> bool:
+def keep(
+    pred: tuple, column_stats: dict[str, dict], probes: dict | None = None
+) -> bool:
     """True if the region (stripe / row group) may contain matches."""
-    return is_needed(evaluate(pred, column_stats))
+    return is_needed(evaluate(pred, column_stats, probes))
 
 
 def from_range(column: str, lo=None, hi=None) -> tuple:

@@ -221,6 +221,25 @@ def encode_column(
             enc.set_rg_stats(g, stats_mod.int_stats(v, enc.rg_nulls[g]))
         meta["encoding"] = "rlev2"
         meta["stats"] = stats_mod.int_stats(vals, arr.null_count).to_dict()
+    elif pa.types.is_decimal(t):
+        # decimal64 path (Decimal64TreeWriter.writeBatch semantics,
+        # Decimal64TreeWriter.java:59-112): unscaled value as signed RLEv2,
+        # precision/scale in the footer.  precision <= 18 only (the
+        # unscaled value must fit int64).
+        if t.precision > 18:
+            raise NotImplementedError(
+                f"decimal precision {t.precision} > 18 unsupported (column {name})"
+            )
+        vals = _decimal_unscaled_int64(arr)
+        enc.seg_streams["DATA"] = []
+        for g in range(len(enc.bounds)):
+            v = vals[enc.val_slice(g)]
+            enc.seg_streams["DATA"].append(rlev2.encode(v, signed=True))
+            enc.set_rg_stats(g, stats_mod.int_stats(v, enc.rg_nulls[g], kind="decimal"))
+        meta["encoding"] = "decimal64"
+        meta["precision"] = t.precision
+        meta["scale"] = t.scale
+        meta["stats"] = stats_mod.int_stats(vals, arr.null_count, kind="decimal").to_dict()
     elif pa.types.is_timestamp(t):
         unit_scale = _TS_UNITS[t.unit]
         vals = _arrow_nonnull_int64(arr)
@@ -476,6 +495,37 @@ def _encode_struct(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     ).to_dict()
 
 
+def _decimal_unscaled_int64(arr: pa.Array) -> np.ndarray:
+    """Unscaled int64 values of a decimal128 array (precision <= 18, so
+    the value IS the low 64-bit word; the high word is sign extension).
+    Zero-copy read of the 16-byte little-endian storage."""
+    nn = arr.drop_null() if arr.null_count else arr
+    nn = nn.combine_chunks() if isinstance(nn, pa.ChunkedArray) else nn
+    buf = nn.buffers()[1]
+    words = np.frombuffer(buf, dtype=np.int64, count=2 * (nn.offset + len(nn)))
+    return words.reshape(-1, 2)[nn.offset :, 0].copy()
+
+
+def _build_decimal(
+    vals: np.ndarray, valid: np.ndarray | None, n_rows: int, t: pa.DataType
+) -> pa.Array:
+    full = vals
+    validity_buf = None
+    null_count = 0
+    if valid is not None:
+        full = np.zeros(n_rows, dtype=np.int64)
+        full[valid] = vals
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        null_count = int((~valid).sum())
+    words = np.empty((n_rows, 2), dtype=np.int64)
+    words[:, 0] = full
+    words[:, 1] = np.where(full < 0, -1, 0)  # sign-extended high word
+    return pa.Array.from_buffers(
+        t, n_rows, [validity_buf, pa.py_buffer(words.tobytes())],
+        null_count=null_count,
+    )
+
+
 def _concat_binary(bin_arr: pa.Array) -> memoryview:
     """Contiguous data buffer of a large_binary array (zero-copy slice)."""
     buffers = bin_arr.buffers()
@@ -617,6 +667,9 @@ def decode_column(
         if enc == "rlev2":
             vals = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
             pieces.append(_scatter_numeric(vals, valid, n_rows, t))
+        elif enc == "decimal64":
+            vals = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
+            pieces.append(_build_decimal(vals, valid, n_rows, t))
         elif enc == "timestamp_split":
             seconds = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
             nanos = parse_nanos(rlev2.decode(seg_raw("SECONDARY", g), n_vals, signed=False))
@@ -696,6 +749,9 @@ def _decode_whole(streams: dict[str, bytes], meta: dict) -> pa.Array:
     if enc == "rlev2":
         vals = rlev2.decode(raw["DATA"], n_vals, signed=True)
         return _scatter_numeric(vals, valid, n_rows, t)
+    if enc == "decimal64":
+        vals = rlev2.decode(raw["DATA"], n_vals, signed=True)
+        return _build_decimal(vals, valid, n_rows, t)
     if enc == "timestamp_split":
         seconds = rlev2.decode(raw["DATA"], n_vals, signed=True)
         nanos = parse_nanos(rlev2.decode(raw["SECONDARY"], n_vals, signed=False))
@@ -819,6 +875,8 @@ def _parse_type(meta: dict) -> pa.DataType:
     }
     if s in simple:
         return simple[s]
+    if s.startswith("decimal128("):
+        return pa.decimal128(meta["precision"], meta["scale"])
     if s.startswith("list<") or s.startswith("large_list<"):
         child = _parse_type(meta["child"])
         return pa.list_(child)
@@ -892,11 +950,19 @@ def _build_binary(
     return pa.Array.from_buffers(t, n_rows, buffers, null_count=null_count)
 
 
-def pick_row_groups(footer: dict, predicate: tuple) -> list[int] | None:
+def pick_row_groups(
+    footer: dict,
+    predicate: tuple,
+    streams: dict[tuple[str, str], bytes] | None = None,
+) -> list[int] | None:
     """Evaluate a sarg predicate against each row group's stats; return
     selected group indices, or None when every group survives (decode
-    whole).  The engine's ``RecordReaderImpl.pickRowGroups`` analog."""
-    from . import sarg as sarg_mod
+    whole).  The engine's ``RecordReaderImpl.pickRowGroups`` analog.
+
+    With ``streams``, per-row-group bloom filters (BLOOM_FILTER_UTF8,
+    packed per group) additionally refute =/IN leaves the min/max stats
+    cannot — ``checkInBloomFilter`` (RecordReaderImpl.java:932-978)."""
+    from . import bloom as bloom_mod, sarg as sarg_mod
 
     per_col = [
         (c["name"], c.get("row_index"))
@@ -905,13 +971,22 @@ def pick_row_groups(footer: dict, predicate: tuple) -> list[int] | None:
     indexed = [(n, ri) for n, ri in per_col if ri]
     if not indexed:
         return None
+    blooms: dict[str, list[bytes]] = {}
+    if streams:
+        for (cname, kind), blob in streams.items():
+            if kind == "BLOOM_FILTER_UTF8":
+                blooms[cname] = bloom_mod.unpack_multi(bytes(blob))
     n_rgs = len(indexed[0][1])
     selected = []
     for g in range(n_rgs):
         col_stats = {
             name: ri[g]["stats"] for name, ri in indexed if g < len(ri)
         }
-        if sarg_mod.keep(predicate, col_stats):
+        probes = {
+            name: (lambda v, _b=blobs, _g=g: bloom_mod.might_contain_rg_list(_b, v, _g))
+            for name, blobs in blooms.items()
+        }
+        if sarg_mod.keep(predicate, col_stats, probes or None):
             selected.append(g)
     if len(selected) == n_rgs:
         return None

@@ -66,7 +66,7 @@ def _decode_partition_factory(
             # reference columns outside the projection) — the engine's
             # pickRowGroups analog; only surviving groups are decompressed
             row_groups = (
-                stripe_mod.pick_row_groups(footer, predicate)
+                stripe_mod.pick_row_groups(footer, predicate, streams=streams)
                 if predicate is not None
                 else None
             )

@@ -80,6 +80,33 @@ def test_pick_row_groups_prunes_with_stats():
     assert stripe.pick_row_groups(footer, (">=", "v", -1)) is None
 
 
+def test_rowgroup_bloom_refutes_within_range():
+    """Per-row-group blooms refute equality probes that min/max cannot:
+    even values only, probed with an in-range odd value."""
+    import pyarrow as pa
+
+    evens = np.arange(0, 8000, 2, dtype=np.int64)  # 4000 rows, 4 groups
+    t = pa.table({"v": pa.array(evens), "tag": pa.array([f"t{v}" for v in evens])})
+    streams, footer = stripe.encode_stripe(
+        t, row_index_stride=1000, bloom_columns=["v", "tag"]
+    )
+    # stats alone keep the group whose range covers the odd probe
+    assert stripe.pick_row_groups(footer, ("=", "v", 999)) == [0]
+    # bloom refutes it everywhere
+    assert stripe.pick_row_groups(footer, ("=", "v", 999), streams=streams) == []
+    # a present value keeps exactly its group
+    sel = stripe.pick_row_groups(footer, ("=", "v", 2500 * 2), streams=streams)
+    assert sel == [2]
+    # string bloom probes work through dtype normalization
+    sel = stripe.pick_row_groups(footer, ("=", "tag", "t5000"), streams=streams)
+    assert sel == [2]
+    assert stripe.pick_row_groups(footer, ("in", "tag", ["zz", "qq"]), streams=streams) == []
+    # bloom NO is definite: NOT(=absent) keeps everything
+    assert stripe.pick_row_groups(
+        footer, ("not", ("=", "v", 999)), streams=streams
+    ) is None
+
+
 def test_rowgroup_roundtrip_with_nulls():
     rng = np.random.default_rng(9)
     n = 3210
