@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels import bitfield, dictionary, rlev2
+from ..kernels import bitfield, dictionary, rlev1, rlev2
 from . import stripe as stripe_mod
 
 # --- protobuf primitives ----------------------------------------------------
@@ -63,7 +63,7 @@ _KIND = {
 }
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH, _STREAM_DICT = 0, 1, 2, 3
 _STREAM_SECONDARY = 5
-_ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 2, 3
+_ENC_DIRECT, _ENC_DICT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 1, 2, 3
 _COMPRESSION_NONE = 0
 
 DICT_THRESHOLD = 0.8  # orc.dictionary.key.threshold
@@ -78,8 +78,17 @@ def _column_kind(t: pa.DataType) -> int:
     return _KIND[s]
 
 
-def _encode_column(arr: pa.Array) -> tuple[list[tuple[int, bytes]], bytes]:
-    """-> ([(stream_kind, bytes)...], ColumnEncoding protobuf)."""
+def _encode_column(
+    arr: pa.Array, v11: bool = False
+) -> tuple[list[tuple[int, bytes]], bytes]:
+    """-> ([(stream_kind, bytes)...], ColumnEncoding protobuf).
+
+    ``v11`` emits the 0.11 legacy layout: RLEv1 integer/length streams
+    and DIRECT/DICTIONARY (v1) encodings — the cross-read oracle for the
+    rlev1 kernel."""
+    rle = (lambda v, signed: rlev1.encode(v, signed=signed)) if v11 else (
+        lambda v, signed: rlev2.encode(v, signed=signed)
+    )
     t = arr.type
     streams: list[tuple[int, bytes]] = []
     if arr.null_count:
@@ -87,11 +96,13 @@ def _encode_column(arr: pa.Array) -> tuple[list[tuple[int, bytes]], bytes]:
         streams.append((_STREAM_PRESENT, bitfield.encode(valid)))
     nn = arr.drop_null() if arr.null_count else arr
 
-    enc = _f_varint(1, _ENC_DIRECT_V2)
+    enc = _f_varint(1, _ENC_DIRECT if v11 else _ENC_DIRECT_V2)
     if pa.types.is_integer(t) or pa.types.is_date32(t):
         vals = stripe_mod._arrow_nonnull_int64(arr)
-        streams.append((_STREAM_DATA, rlev2.encode(vals, signed=True)))
+        streams.append((_STREAM_DATA, rle(vals, True)))
     elif pa.types.is_timestamp(t):
+        if v11:
+            raise NotImplementedError("orcfile v0.11: timestamp unsupported")
         unit_scale = stripe_mod._TS_UNITS[t.unit]
         vals = stripe_mod._arrow_nonnull_int64(arr)
         seconds = np.floor_divide(vals, unit_scale) - stripe_mod.TS_BASE_SECONDS
@@ -119,21 +130,23 @@ def _encode_column(arr: pa.Array) -> tuple[list[tuple[int, bytes]], bytes]:
         n_unique = len(bin_arr.unique()) if len(bin_arr) else 0
         if is_str and len(bin_arr) and n_unique / len(bin_arr) <= DICT_THRESHOLD:
             codes, uniques = dictionary.encode_sorted(bin_arr)
-            streams.append((_STREAM_DATA, rlev2.encode(codes, signed=False)))
+            streams.append((_STREAM_DATA, rle(codes, False)))
             streams.append((_STREAM_DICT, b"".join(uniques)))
             streams.append(
                 (
                     _STREAM_LENGTH,
-                    rlev2.encode(
+                    rle(
                         np.fromiter((len(u) for u in uniques), np.int64, len(uniques)),
-                        signed=False,
+                        False,
                     ),
                 )
             )
-            enc = _f_varint(1, _ENC_DICT_V2) + _f_varint(2, len(uniques))
+            enc = _f_varint(1, _ENC_DICT if v11 else _ENC_DICT_V2) + _f_varint(
+                2, len(uniques)
+            )
         else:
             streams.append((_STREAM_DATA, bytes(stripe_mod._concat_binary(bin_arr))))
-            streams.append((_STREAM_LENGTH, rlev2.encode(lengths, signed=False)))
+            streams.append((_STREAM_LENGTH, rle(lengths, False)))
     else:
         raise NotImplementedError(f"orcfile: unsupported type {t}")
     return streams, enc
@@ -146,9 +159,14 @@ def _min_stats(n_values: int, has_null: bool) -> bytes:
 
 
 def write_orc(
-    table: pa.Table, path: str, rows_per_stripe: int = 100_000
+    table: pa.Table, path: str, rows_per_stripe: int = 100_000,
+    version: str = "0.12",
 ) -> None:
-    """Write ``table`` (flat schema) as an ORC file at ``path``."""
+    """Write ``table`` (flat schema) as an ORC file at ``path``.
+
+    ``version="0.11"`` emits the legacy RLEv1 layout (cross-read oracle
+    for the rlev1 kernel)."""
+    v11 = version == "0.11"
     n_cols = table.num_columns
     out = bytearray(b"ORC")
     header_len = 3
@@ -167,7 +185,7 @@ def write_orc(
             col = chunk.column(i)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            streams, enc = _encode_column(col)
+            streams, enc = _encode_column(col, v11)
             encodings.append(enc)
             for kind, blob in streams:
                 stream_meta.append((kind, i + 1, len(blob)))
@@ -223,7 +241,7 @@ def write_orc(
     ps = bytearray()
     ps += _f_varint(1, len(footer))
     ps += _f_varint(2, _COMPRESSION_NONE)
-    ps += _f_packed(4, [0, 12])  # file version 0.12
+    ps += _f_packed(4, [0, 11] if v11 else [0, 12])  # file version
     ps += _f_varint(5, 0)  # metadataLength
     ps += _f_varint(6, 1)  # writerVersion
     ps += _f_bytes(8000, b"ORC")

@@ -99,6 +99,55 @@ def test_pages_fixture_cross_read(tmp_path):
     _cross_read(t, tmp_path / "pages.orc", rows_per_stripe=5000)
 
 
+def test_v011_rlev1_cross_read(tmp_path):
+    """version='0.11' emits the legacy RLEv1 layout; the C++ reader
+    decoding it is the conformance oracle for the rlev1 kernel."""
+    rng = np.random.default_rng(17)
+    n = 9000
+    t = pa.table(
+        {
+            "runs": pa.array(
+                np.concatenate(
+                    [np.full(3000, 5), np.arange(0, 12000, 2)]
+                ).astype(np.int64)
+            ),
+            "rand": pa.array(rng.integers(-(2**45), 2**45, n), pa.int64()),
+            "lang": pa.array(
+                np.array(["en", "de", "fr"])[rng.integers(0, 3, n)].tolist()
+            ),
+            "url": pa.array([f"https://v11-{i}.com" for i in range(n)]),
+            "nul": pa.array(
+                [None if i % 5 == 0 else i for i in range(n)], pa.int64()
+            ),
+        }
+    )
+    orcfile.write_orc(t, str(tmp_path / "v11.orc"), rows_per_stripe=4000,
+                      version="0.11")
+    got = pa.orc.ORCFile(str(tmp_path / "v11.orc")).read()
+    for name in t.schema.names:
+        assert got[name].combine_chunks().equals(t[name].combine_chunks()), name
+
+
+def test_rlev1_kernel_roundtrip():
+    from sparc.kernels import rlev1
+
+    rng = np.random.default_rng(2)
+    cases = [
+        np.arange(1000), np.full(500, 7), np.array([1, 2, 3]), np.array([5]),
+        rng.integers(-(10**12), 10**12, 777),
+        np.repeat(np.arange(50), rng.integers(1, 8, 50)),
+        np.array([], dtype=np.int64),
+        np.arange(0, 130 * 4, 1),  # exact MAX_REPEAT chunking
+    ]
+    for signed in (True, False):
+        for c in cases:
+            v = c.astype(np.int64)
+            if not signed:
+                v = np.abs(v)
+            dec = rlev1.decode(rlev1.encode(v, signed=signed), v.size, signed=signed)
+            assert np.array_equal(dec, v)
+
+
 def test_spark_java_reader_cross_read(spark, tmp_path):
     """The reference reader itself (orc-core 2.2.2 via Spark) reads our
     file value-identically."""
