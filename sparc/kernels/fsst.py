@@ -55,7 +55,10 @@ def _mix16_scalar(key: int) -> int:
 class SymbolTable:
     """Immutable trained symbol table."""
 
-    __slots__ = ("symbols", "sym_buf", "sym_off", "sym_len", "_match", "_dropped")
+    __slots__ = (
+        "symbols", "sym_buf", "sym_off", "sym_len", "_dropped",
+        "_h_div", "_h_key", "_h_code", "_h_len", "_t2", "_t1",
+    )
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -70,35 +73,36 @@ class SymbolTable:
         self.sym_len[ESCAPE] = 1
         self.sym_off = offsets
         self.sym_buf = np.frombuffer(bytes(buf), dtype=np.uint8)
-        # per-length lookup tables: length -> (slot_keys u64[65536],
-        # slot_codes u8[65536]).  Length 1/2 are direct-addressed by the key
-        # itself; lengths 3..8 use a multiplicative hash slot with full-key
-        # verify at lookup.  Hash-colliding symbols are dropped from the
-        # match tables (correctness unaffected — matching is optional).
-        self._match = {}
+        # single-probe match tables (the real-FSST lookup shape): lengths
+        # 3..8 share ONE hash table slotted by the first 3 bytes — each
+        # slot holds (divisor 256^(8-L), full big-endian key, code, L) and
+        # the lookup verifies window // divisor == key; lengths 1/2 are
+        # direct-addressed.  One symbol per slot: on collision the LONGER
+        # symbol wins (greedy quality), the loser is dropped from matching
+        # (correctness unaffected — matching is optional).
         self._dropped = 0
-        by_len: dict[int, list[tuple[int, int]]] = {}
+        self._h_div = np.ones(_HASH_SIZE, dtype=np.uint64)
+        self._h_key = np.zeros(_HASH_SIZE, dtype=np.uint64)
+        self._h_code = np.full(_HASH_SIZE, ESCAPE, dtype=np.uint8)
+        self._h_len = np.zeros(_HASH_SIZE, dtype=np.uint8)
+        self._t2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+        self._t1 = np.full(1 << 8, ESCAPE, dtype=np.uint8)
         for code, s in enumerate(symbols):
-            key = int.from_bytes(s, "big")
-            by_len.setdefault(len(s), []).append((key, code))
-        for length, pairs in by_len.items():
-            if length <= 2:
-                size = 1 << (8 * length)
-                slot_codes = np.full(size, ESCAPE, dtype=np.uint8)
-                for key, code in pairs:
-                    slot_codes[key] = code
-                self._match[length] = (None, slot_codes)
+            L = len(s)
+            if L == 1:
+                self._t1[s[0]] = code
+            elif L == 2:
+                self._t2[(s[0] << 8) | s[1]] = code
             else:
-                slot_keys = np.zeros(_HASH_SIZE, dtype=np.uint64)
-                slot_codes = np.full(_HASH_SIZE, ESCAPE, dtype=np.uint8)
-                for key, code in pairs:
-                    slot = _mix16_scalar(key)
-                    if slot_codes[slot] != ESCAPE:
-                        self._dropped += 1
-                        continue
-                    slot_keys[slot] = key
-                    slot_codes[slot] = code
-                self._match[length] = (slot_keys, slot_codes)
+                key3 = (s[0] << 16) | (s[1] << 8) | s[2]
+                slot = _mix16_scalar(key3)
+                if self._h_len[slot] >= L:
+                    self._dropped += 1
+                    continue
+                self._h_div[slot] = np.uint64(1 << (8 * (8 - L)))
+                self._h_key[slot] = np.uint64(int.from_bytes(s, "big"))
+                self._h_code[slot] = code
+                self._h_len[slot] = L
 
     # -- serialization ------------------------------------------------------
     def serialize(self) -> bytes:
@@ -137,36 +141,33 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
     return key
 
 
+_D40 = np.uint64(1 << 40)
+_D48_ = np.uint64(1 << 48)
+
+
 def _find_matches(table: SymbolTable, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position longest symbol match: (match_len, match_code); len 0 = none."""
+    """Per-position symbol match: (match_len, match_code); len 0 = none.
+
+    Single hash probe for lengths 3..8 (slot by the first 3 bytes, full
+    key verified via one divide+compare), then direct len-2/len-1 tables
+    — ~6 gathers total instead of one pass per symbol length."""
     n = data.size
-    match_len = np.zeros(n, dtype=np.int64)
-    match_code = np.zeros(n, dtype=np.uint8)
     if n == 0:
-        return match_len, match_code
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
     key8 = _window_keys(data)
-    d256 = np.uint64(256)
-    k = key8
-    shrunk = 8
-    # longest first; shorter lengths only fill still-unmatched positions
-    for length in sorted(table._match, reverse=True):
-        slot_keys, slot_codes = table._match[length]
-        while shrunk > length:
-            k = k // d256
-            shrunk -= 1
-        if slot_keys is None:  # direct-addressed (length 1 or 2)
-            cand = slot_codes[k]
-            hit = cand != ESCAPE
-        else:
-            slot = _mix16(k)
-            cand = slot_codes[slot]
-            hit = (slot_keys[slot] == k) & (cand != ESCAPE)
-        hit &= match_len == 0
-        if length > 1:  # window must not run past the end
-            hit[n - length + 1 :] = False
-        match_len[hit] = length
-        match_code[hit] = cand[hit]
-    return match_len, match_code
+    key3 = key8 // _D40
+    slot = _mix16(key3)
+    ln = table._h_len[slot].astype(np.int64)
+    hit3 = (ln > 0) & (key8 // table._h_div[slot] == table._h_key[slot])
+    rem = n - np.arange(n, dtype=np.int64)
+    hit3 &= ln <= rem
+    c2 = table._t2[key8 // _D48_]
+    hit2 = ~hit3 & (c2 != ESCAPE) & (rem >= 2)
+    c1 = table._t1[key3 // np.uint64(1 << 16)]
+    hit1 = ~hit3 & ~hit2 & (c1 != ESCAPE)
+    match_len = np.where(hit3, ln, np.where(hit2, 2, np.where(hit1, 1, 0)))
+    match_code = np.where(hit3, table._h_code[slot], np.where(hit2, c2, c1))
+    return match_len, match_code.astype(np.uint8)
 
 
 _SEG = 1 << 17  # compress segment: keeps all matcher temporaries cache-resident
