@@ -456,6 +456,25 @@ SELECT doc_id, sha256(text) AS text FROM documents
 """
 
 
+def _char_varchar_documents(spark, sf_dir):
+    """Write-time CHAR(8)/VARCHAR(12) enforcement (CharTreeWriter /
+    VarcharTreeWriter semantics) before encode."""
+    from sparc.ops import mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mask.apply_char_types(
+        docs, {"lang": ("char", 8), "source": ("varchar", 12)}
+    )
+
+
+_CHAR_VARCHAR_SQL = """
+SELECT doc_id,
+       rpad(substring(lang, 1, 8), 8, ' ') AS lang,
+       substring(source, 1, 12) AS source
+FROM documents
+"""
+
+
 def _stripe_prune_documents(spark, sf_dir):
     """Engine-internal: encode documents into stripes with stats+bloom,
     then count stripes kept by a stats range probe and a bloom point
@@ -777,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # masking + pruning surfaces
         "mask_redact": _mask_redact,
         "mask_sha256": _mask_sha256,
+        "char_varchar_documents": _char_varchar_documents,
         "stripe_prune_documents": _stripe_prune_documents,
     }
 
@@ -805,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_topk": _SIMSEARCH_SQL,
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
+        "char_varchar_documents": _CHAR_VARCHAR_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # rows-only (non-SQL-expressible: xxhash64-based or by-design approximate):
         # encode_metrics_documents, minhash_lsh_candidates, simhash, lsh_topk,

@@ -36,6 +36,25 @@ def nullify(df: DataFrame, column: str) -> DataFrame:
     return df.withColumn(column, F.lit(None).cast(dtype))
 
 
+def apply_char_types(df: DataFrame, specs: dict[str, tuple[str, int]]) -> DataFrame:
+    """Write-time CHAR/VARCHAR semantics over string columns
+    (CharTreeWriter.writePadded CharTreeWriter.java:70-104 /
+    VarcharTreeWriter.writeTruncated VarcharTreeWriter.java:64-86):
+    ``{'col': ('char', n)}`` pads-or-truncates to exactly n;
+    ``{'col': ('varchar', n)}`` truncates to at most n.  Spark DataFrames
+    erase char/varchar to string, so this is the engine's write-time
+    enforcement surface, applied before the encode job — all JVM-side
+    expressions, no UDFs."""
+    for col, (kind, n) in specs.items():
+        if kind == "char":
+            df = df.withColumn(col, F.rpad(F.substring(F.col(col), 1, n), n, " "))
+        elif kind == "varchar":
+            df = df.withColumn(col, F.substring(F.col(col), 1, n))
+        else:
+            raise ValueError(f"unknown char type {kind!r} for {col}")
+    return df
+
+
 def apply_masks(df: DataFrame, masks: dict[str, str]) -> DataFrame:
     """Apply a per-column mask spec: {column: 'redact'|'sha256'|'nullify'}.
 
