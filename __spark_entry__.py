@@ -417,6 +417,18 @@ def _lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def _ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + inverted-list probe).  Run
+    with nprobe == nlist, where IVF is provably exact — so the same
+    brute-force SQL oracle value-checks the whole IVF pipeline
+    (assignment argmin, probe ranking, rescoring)."""
+    from sparc.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, iters=2)
+
+
 def _embedding_dups(spark, sf_dir):
     from sparc.ops import similarity
 
@@ -790,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "simsearch_topk": _simsearch_topk,
         "lsh_topk": _lsh_topk,
+        "ivf_topk": _ivf_topk,
         "embedding_dups": _embedding_dups,
         "multimodal_features": _multimodal_features,
         "multimodal_feature_fp": _multimodal_feature_fp,
@@ -823,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simsearch_topk": _SIMSEARCH_SQL,
+        "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
         "char_varchar_documents": _CHAR_VARCHAR_SQL,

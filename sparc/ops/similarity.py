@@ -160,6 +160,135 @@ def lsh_topk(
     )
 
 
+def _sq_norm(v):
+    return F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Assignment is an argmin over ``nlist`` literal-centroid distance
+    expressions (no corpus blow-up); the update is a
+    posexplode->groupBy(cluster, dim) mean — a shuffle of n*dim scalars,
+    bounded at scale by ``sample_mod`` (train on the deterministic
+    1/sample_mod xxhash64 sample, the standard IVF practice).  Returns
+    nlist x dim centroid literals, reproducible across runs and cluster
+    sizes."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_mod > 1:
+        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
+    dim = int(v.select(F.size("v").alias("d")).first()["d"])
+    # deterministic init: the nlist sample vectors with smallest salted hash
+    init = (
+        v.withColumn("h", F.xxhash64("id", F.lit(seed)))
+        .orderBy("h")
+        .limit(nlist)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        assigned = v.withColumn(
+            "cluster", _nearest_centroid_col(F.col("v"), centroids)
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        for r in rows:
+            new[r["cluster"]][r["pos"]] = r["m"]
+        centroids = new
+    return [[round(float(x), 6) for x in c] for c in centroids]
+
+
+def _nearest_centroid_col(vec_col, centroids: list[list[float]]):
+    """argmin_c ( |c|^2 - 2 c.v ) as a pure-JVM expression (|v|^2 is
+    constant across candidates)."""
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        sq = float(sum(x * x for x in c))
+        dists.append(F.lit(sq) - 2.0 * _dot(vec_col, lit))
+    d = F.array(*dists)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into ``nlist`` inverted
+    lists, probe each query's ``nprobe`` nearest lists, rescore exactly.
+
+    The corpus side is a single argmin expression (one pass, no
+    blow-up); the query side (small, broadcastable) ranks centroids via
+    a cross join with the nlist-row centroid table.  Recall grows with
+    nprobe/nlist; nprobe == nlist degenerates to exact search."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=sample_mod, seed=seed,
+        )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cluster", _nearest_centroid_col(F.col("cv"), centroids))
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centroids)], "cluster int, cvec array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qd = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cdist", _sq_norm(F.col("cvec")) - 2.0 * _dot(F.col("qv"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cluster"))
+    probes = (
+        qd.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "sim", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.col("rank").cast("long").alias("rank"),
+                F.round("sim", round_to).alias("sim"))
+    )
+
+
 def embedding_cosine_dups(
     df: DataFrame,
     id_col: str = "vec_id",

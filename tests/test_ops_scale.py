@@ -114,6 +114,29 @@ def test_bucket_cap_drops_degenerate_buckets(spark):
     assert out2.count() == 50 * 49 // 2
 
 
+def test_ivf_topk_recall_and_determinism(vectors):
+    """IVF with nprobe=nlist is exact; modest nprobe recalls the planted
+    nearest neighbors; centroids are deterministic across calls."""
+    queries = vectors.filter(F.col("vec_id") < 5)
+    cents1 = similarity.train_ivf_centroids(vectors, nlist=8, iters=3)
+    cents2 = similarity.train_ivf_centroids(vectors, nlist=8, iters=3)
+    assert cents1 == cents2
+    # exact degenerate case: probe every list == brute force
+    exact = similarity.cosine_topk(vectors, queries, k=3)
+    full = similarity.ivf_topk(
+        vectors, queries, k=3, nlist=8, nprobe=8, centroids=cents1
+    )
+    assert full.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full).count() == 0
+    # nprobe=3: the planted near-dup (sim ~0.999, same cluster by
+    # construction) is still the top hit
+    got = similarity.ivf_topk(
+        vectors, queries, k=1, nlist=8, nprobe=3, centroids=cents1
+    ).collect()
+    top = {r["query_id"]: r["corpus_id"] for r in got}
+    assert sum(top.get(j) == 200 + j for j in range(5)) >= 4
+
+
 def test_candidates_deduped_across_bands(vectors):
     """A pair colliding in several bands is scored once."""
     out = similarity.embedding_cosine_dups(
