@@ -150,7 +150,14 @@ def _encode_partition_factory(
         table = pa.Table.from_batches(collected)
         del collected
         stripe_ids = table[part_mod.STRIPE_COL]
-        for sid in pa.compute.unique(stripe_ids).to_pylist():
+        uniq = pa.compute.unique(stripe_ids).to_pylist()
+        if len(uniq) == 1:
+            # common case (partitions == stripes): no filter copy — the
+            # partition IS the stripe (halves peak allocation, which the
+            # host's fault pathology otherwise amplifies)
+            yield _emit(table.drop_columns([part_mod.STRIPE_COL]), uniq[0])
+            return
+        for sid in uniq:
             sub = table.filter(pa.compute.equal(stripe_ids, sid))
             sub = sub.drop_columns([part_mod.STRIPE_COL])
             yield _emit(sub, sid)
