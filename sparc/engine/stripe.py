@@ -290,6 +290,8 @@ def encode_column(
         _encode_list_like(enc, fsst)
     elif pa.types.is_struct(t):
         _encode_struct(enc, fsst)
+    elif pa.types.is_union(t):
+        _encode_union(enc, fsst)
     else:
         raise NotImplementedError(f"unsupported arrow type {t} for column {name}")
 
@@ -526,6 +528,86 @@ def _build_decimal(
     )
 
 
+def _encode_union(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
+    """Dense union: byte-RLE TAG stream + per-variant child subtree in
+    row order (UnionTreeWriter semantics — ORC's union stores each
+    variant's values sequentially in tag order, so arbitrary Arrow
+    offsets are normalized by a per-variant take)."""
+    from ..kernels import byterle
+
+    arr, meta = enc.arr, enc.meta
+    t = arr.type
+    if t.mode != "dense":
+        raise NotImplementedError("sparse union unsupported (use dense)")
+    tags = np.frombuffer(arr.buffers()[1], dtype=np.int8, count=len(arr),
+                         offset=arr.offset)
+    offsets = np.frombuffer(arr.buffers()[2], dtype=np.int32, count=len(arr),
+                            offset=arr.offset * 4)
+    # store the variant index (0..n-1), not the raw type code — codes are
+    # metadata in the footer
+    code_to_variant = {t.field(i).type_code if hasattr(t.field(i), "type_code")
+                       else t.type_codes[i]: i for i in range(t.num_fields)}
+    variants = np.array([code_to_variant[c] for c in tags.tolist()], dtype=np.uint8)
+    enc.whole_streams["TAG"] = byterle.encode(variants)
+    children_meta = []
+    for i in range(t.num_fields):
+        field = t.field(i)
+        sel = np.flatnonzero(variants == i)
+        child_vals = arr.field(i).take(pa.array(offsets[sel], pa.int32()))
+        child_streams, child_meta = encode_column(
+            child_vals, f"{enc.name}.{field.name}", enc.codec, fsst_opt, stride=None
+        )
+        child_meta["field_name"] = field.name
+        child_meta["type_code"] = int(t.type_codes[i])
+        for k, v in child_streams.items():
+            enc.child_streams[f"CHILD{i}_{k}"] = v
+        children_meta.append(child_meta)
+    for g in range(len(enc.bounds)):
+        enc.set_rg_stats(
+            g,
+            stats_mod.ColumnStats(kind="union", n_values=enc.rg_vals[g],
+                                  n_nulls=enc.rg_nulls[g]),
+        )
+    meta["encoding"] = "union"
+    meta["children"] = children_meta
+    meta["stats"] = stats_mod.ColumnStats(
+        kind="union", n_values=len(arr), n_nulls=0
+    ).to_dict()
+
+
+def _decode_union(streams: dict[str, bytes], meta: dict) -> pa.Array:
+    from ..kernels import byterle
+
+    codec = meta["codec"]
+    n_rows = meta["n_rows"]
+    variants = byterle.decode(block.decompress(streams["TAG"], codec), n_rows)
+    children = []
+    fields = []
+    type_codes = []
+    for i, child_meta in enumerate(meta["children"]):
+        prefix = f"CHILD{i}_"
+        child_streams = {
+            k[len(prefix):]: v for k, v in streams.items() if k.startswith(prefix)
+        }
+        child = decode_column(child_streams, child_meta)
+        children.append(child.combine_chunks() if isinstance(child, pa.ChunkedArray) else child)
+        fields.append(pa.field(child_meta["field_name"], child.type))
+        type_codes.append(child_meta["type_code"])
+    # per-variant running count -> dense offsets in row order
+    offsets = np.zeros(n_rows, dtype=np.int32)
+    for i in range(len(children)):
+        sel = variants == i
+        offsets[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+    tags = np.array([type_codes[v] for v in variants.tolist()], dtype=np.int8)
+    return pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()),
+        pa.array(offsets, pa.int32()),
+        children,
+        [f.name for f in fields],
+        type_codes,
+    )
+
+
 def _concat_binary(bin_arr: pa.Array) -> memoryview:
     """Contiguous data buffer of a large_binary array (zero-copy slice)."""
     buffers = bin_arr.buffers()
@@ -600,7 +682,7 @@ def decode_column(
     row-sliced."""
     codec = meta["codec"]
     segments = meta.get("segments")
-    if segments is None or meta["encoding"] == "struct":
+    if segments is None or meta["encoding"] in ("struct", "union"):
         # struct columns have no data streams of their own: children are
         # whole-stripe subtrees, so decode whole and row-slice (segment
         # concatenation stays byte-aligned because the stride is a
@@ -728,10 +810,11 @@ def _decode_whole(streams: dict[str, bytes], meta: dict) -> pa.Array:
     n_rows = meta["n_rows"]
     n_nulls = meta["n_nulls"]
     enc = meta["encoding"]
-    t = _parse_type(meta)
-
     if enc == "struct":
         return _decode_struct(streams, meta)
+    if enc == "union":
+        return _decode_union(streams, meta)
+    t = _parse_type(meta)
 
     raw = {
         k: block.decompress(v, codec)

@@ -157,3 +157,61 @@ def test_deep_nesting_list_of_list():
         }
     )
     _roundtrip(t)
+
+
+def test_dense_union_roundtrip():
+    """Dense union: byte-RLE tag stream + per-variant subtrees in tag
+    order (UnionTreeWriter semantics), arbitrary type codes and
+    non-sequential Arrow offsets normalized at encode."""
+    import numpy as np
+
+    tags = pa.array([0, 1, 0, 0, 1], pa.int8())
+    offsets = pa.array([0, 0, 1, 2, 1], pa.int32())
+    arr = pa.UnionArray.from_dense(
+        tags, offsets,
+        [pa.array([10, 20, 30], pa.int64()), pa.array(["a", "b"])],
+        ["num", "txt"], [0, 1],
+    )
+    t = pa.table({"u": arr, "k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    footer = _roundtrip(t)
+    assert footer["columns"][0]["encoding"] == "union"
+
+    # non-contiguous type codes, shuffled value order
+    arr2 = pa.UnionArray.from_dense(
+        pa.array([5, 7, 5, 7], pa.int8()), pa.array([1, 0, 0, 1], pa.int32()),
+        [pa.array([100, 200], pa.int64()), pa.array(["x", "y"])],
+        ["n", "s"], [5, 7],
+    )
+    _roundtrip(pa.table({"u": arr2}))
+
+
+def test_dense_union_rowgroup_slicing():
+    n = 2400
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    tags_np = rng.integers(0, 2, n).astype(np.int8)
+    n0 = int((tags_np == 0).sum())
+    offs = np.zeros(n, dtype=np.int32)
+    offs[tags_np == 0] = np.arange(n0)
+    offs[tags_np == 1] = np.arange(n - n0)
+    arr = pa.UnionArray.from_dense(
+        pa.array(tags_np, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(np.arange(n0), pa.int64()),
+         pa.array([f"s{i}" for i in range(n - n0)])],
+        ["num", "txt"], [0, 1],
+    )
+    t = pa.table({"u": arr})
+    streams, footer = stripe.encode_stripe(t, row_index_stride=800)
+    assert stripe.decode_stripe(streams, footer).equals(t)
+    out = stripe.decode_stripe(streams, footer, row_groups=[1])
+    assert out.equals(t.slice(800, 800))
+
+
+def test_sparse_union_raises():
+    arr = pa.UnionArray.from_sparse(
+        pa.array([0, 1], pa.int8()),
+        [pa.array([1, 2], pa.int64()), pa.array(["a", "b"])],
+    )
+    with pytest.raises(NotImplementedError):
+        stripe.encode_stripe(pa.table({"u": arr}))
