@@ -20,13 +20,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or table name")
     ap.add_argument("--output", required=True, help="streams table output dir")
-    ap.add_argument("--strategy", default="hash", choices=["hash", "lang_salted"])
+    ap.add_argument("--strategy", default="hash",
+                    choices=["hash", "lang_salted", "input"])
     ap.add_argument("--stripes", type=int, default=None)
     ap.add_argument("--codec", default="zstd")
     ap.add_argument("--key", default="url")
     ap.add_argument("--bloom", default="", help="comma-separated bloom columns")
-    ap.add_argument("--sort", default="lang,warc_ts",
+    ap.add_argument("--sort", default="",
                     help="comma-separated in-stripe sort columns ('' disables)")
+    ap.add_argument("--rows-per-stripe", type=int, default=100_000)
+    ap.add_argument("--row-index-stride", type=int, default=10_000,
+                    help="row-group index stride (0 disables; multiple of 8)")
     ap.add_argument("--fingerprint", default="", help="input snapshot id for lineage")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -52,6 +56,8 @@ def main() -> None:
         bloom_columns=[c for c in args.bloom.split(",") if c] or None,
         fingerprint=args.fingerprint,
         resume=not args.no_resume,
+        target_rows_per_stripe=args.rows_per_stripe,
+        row_index_stride=args.row_index_stride or None,
     )
     print(summary)
     spark.stop()
