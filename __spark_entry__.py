@@ -35,6 +35,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _count_mismatches(a: DataFrame, b: DataFrame) -> int:
+    """Rows failing multiset equality between ``a`` and ``b``.
+
+    Fast path: compare row counts + an order-independent sum of per-row
+    xxhash64 (one narrow aggregate per side instead of four wide
+    exceptAll shuffles).  Only on disagreement does the exact exceptAll
+    count run — so the happy path is cheap and the failure path is
+    precise."""
+    def sig(df: DataFrame):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: no ANSI long-overflow, exact
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    if sig(a) == sig(b):
+        return 0
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
 def _roundtrip_mismatches(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Encode+decode every partition through the stripe engine; count rows
     that fail bit-identical reconstruction (must be 0)."""
@@ -54,7 +77,7 @@ def _roundtrip_mismatches(spark: SparkSession, sf_dir: str, table: str) -> DataF
         yield from out.to_batches(max_chunksize=10_000)
 
     decoded = df.mapInArrow(rt, schema=df.schema)
-    n_mismatch = df.exceptAll(decoded).count() + decoded.exceptAll(df).count()
+    n_mismatch = _count_mismatches(df, decoded)
     n_rows = df.count()
     return spark.createDataFrame(
         [(n_rows, n_mismatch)], "n_rows long, n_mismatch long"
@@ -563,7 +586,7 @@ def _roundtrip_structs(spark, sf_dir):
         yield from out.to_batches(max_chunksize=10_000)
 
     decoded = nested.mapInArrow(rt, schema=nested.schema)
-    n_mismatch = nested.exceptAll(decoded).count() + decoded.exceptAll(nested).count()
+    n_mismatch = _count_mismatches(nested, decoded)
     return spark.createDataFrame(
         [(nested.count(), n_mismatch)], "n_rows long, n_mismatch long"
     )
@@ -638,7 +661,7 @@ def _roundtrip_decimal(spark, sf_dir):
         yield from out.to_batches(max_chunksize=10_000)
 
     decoded = li.mapInArrow(rt, schema=li.schema)
-    n_mismatch = li.exceptAll(decoded).count() + decoded.exceptAll(li).count()
+    n_mismatch = _count_mismatches(li, decoded)
     return spark.createDataFrame(
         [(li.count(), n_mismatch)], "n_rows long, n_mismatch long"
     )
@@ -684,7 +707,7 @@ def _orc_crossread_documents(spark, sf_dir):
         docs.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
     )
     back = spark.read.orc(out_dir).select(*docs.columns)
-    n_mismatch = docs.exceptAll(back).count() + back.exceptAll(docs).count()
+    n_mismatch = _count_mismatches(docs, back)
     return spark.createDataFrame(
         [(int(n_written), int(n_mismatch))], "n_rows long, n_mismatch long"
     )
