@@ -222,6 +222,19 @@ def keep(
     return is_needed(evaluate(pred, column_stats, probes))
 
 
+def columns_of(pred: tuple) -> set[str]:
+    """Column names referenced anywhere in a predicate tree."""
+    op = pred[0]
+    if op in ("and", "or"):
+        out: set[str] = set()
+        for child in pred[1:]:
+            out |= columns_of(child)
+        return out
+    if op == "not":
+        return columns_of(pred[1])
+    return {pred[1]}
+
+
 def from_range(column: str, lo=None, hi=None) -> tuple:
     """Back-compat: the old single-column (lo, hi) filter as a sarg."""
     if lo is not None and hi is not None:

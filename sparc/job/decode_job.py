@@ -155,10 +155,24 @@ def run_decode(
             evolution = [(rf, fmap.get(norm(rf.name))) for rf in rfields]
         # only matched file columns are decoded (schema-mapped projection)
         columns = [fn for _, fn in evolution if fn is not None]
+    # stream fetch policy: FOOTER rows always; data streams of selected
+    # columns (all, if no projection); bloom streams ONLY for predicate
+    # columns when row-group pruning will consult them (including
+    # predicate columns outside the projection) — everything else never
+    # leaves the parquet scan
+    is_footer = F.col("kind") == "FOOTER"
+    is_bloom = F.col("kind") == "BLOOM_FILTER_UTF8"
+    data_keep = ~is_bloom
     if columns:
-        raw = raw.filter(
-            F.col("column").isin(list(columns) + [""])  # keep FOOTER rows
-        )
+        data_keep = data_keep & F.col("column").isin(list(columns))
+    if pred is not None and rowgroup_prune:
+        from ..engine import sarg as sarg_mod
+
+        pred_cols = sorted(sarg_mod.columns_of(pred))
+        bloom_keep = is_bloom & F.col("column").isin(pred_cols)
+    else:
+        bloom_keep = F.lit(False)
+    raw = raw.filter(is_footer | data_keep | bloom_keep)
     if schema_ddl is None:
         schema_ddl = infer_schema_ddl(spark, streams_dir, columns)
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
