@@ -349,7 +349,17 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     use_dict = dictionary.should_use_dictionary(n_check_unique, len(check))
 
     if use_dict and n_nonnull:
-        codes, uniques = dictionary.encode_sorted(bin_arr)
+        # orc.dictionary.implementation analog: 'rbtree' (default) yields
+        # the sorted DICTIONARY_V2 contract; 'hash' keeps first-occurrence
+        # order and skips the sort pass (decode never assumes order)
+        import os
+
+        impl = os.environ.get("SPARC_DICT_IMPL", "rbtree")
+        if impl == "hash":
+            codes, uniques = dictionary.encode_unsorted(bin_arr)
+        else:
+            codes, uniques = dictionary.encode_sorted(bin_arr)
+        meta["dict_impl"] = impl
         enc.whole_streams["DICTIONARY_DATA"] = b"".join(uniques)
         enc.whole_streams["LENGTH"] = rlev2.encode(
             np.fromiter((len(u) for u in uniques), dtype=np.int64, count=len(uniques)),
@@ -363,7 +373,7 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
             rg_string_stats(g)
         meta["encoding"] = "dict"
         meta["dict_size"] = len(uniques)
-        mn, mx = (uniques[0], uniques[-1]) if uniques else (None, None)
+        mn, mx = (min(uniques), max(uniques)) if uniques else (None, None)
         meta["stats"] = stats_mod.string_stats(
             lengths, meta["n_nulls"], mn, mx, n_distinct=len(uniques), kind=kind
         ).to_dict()

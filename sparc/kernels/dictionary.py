@@ -46,6 +46,23 @@ def encode_sorted(values: pa.Array | np.ndarray) -> tuple[np.ndarray, list[bytes
     return rank[codes], sorted_uniques
 
 
+def encode_unsorted(values: pa.Array | np.ndarray) -> tuple[np.ndarray, list[bytes]]:
+    """First-occurrence-order dictionary (the reference's hash-table
+    implementation, ``orc.dictionary.implementation=hash`` /
+    ``StringHashTableDictionary.java:142-216``): codes index the
+    dictionary in insertion order, skipping the sort pass — the cheaper
+    choice for high-cardinality dictionaries where sortedness buys
+    nothing (readers must not assume order; ours doesn't)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    else:
+        arr = pa.array(pd.Series(values))
+    arr = arr.cast(pa.large_binary())
+    denc = arr.dictionary_encode()  # Arrow: first-occurrence order
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, denc.dictionary.to_pylist()
+
+
 def decode(codes: np.ndarray, uniques: list[bytes]) -> list[bytes]:
     lookup = np.array(uniques, dtype=object)
     return lookup[np.asarray(codes, dtype=np.int64)].tolist()

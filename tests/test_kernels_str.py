@@ -163,3 +163,19 @@ def test_fsst_shared_table_across_rows():
     table = fsst.train(b"".join(rows[:10]))
     for r in rows:
         assert fsst.decompress(fsst.compress(r, table), table) == r
+
+
+def test_unsorted_hash_dictionary():
+    """orc.dictionary.implementation=hash analog: first-occurrence order,
+    codes reconstruct values identically; the sorted variant keeps the
+    DICTIONARY_V2 contract."""
+    import pyarrow as pa
+
+    vals = pa.array(["pear", "apple", "pear", "fig", "apple"])
+    codes, uniques = dictionary.encode_unsorted(vals)
+    assert uniques == [b"pear", b"apple", b"fig"]  # insertion order
+    assert dictionary.decode(codes, uniques) == [
+        b"pear", b"apple", b"pear", b"fig", b"apple",
+    ]
+    s_codes, s_uniques = dictionary.encode_sorted(vals)
+    assert s_uniques == sorted(s_uniques)
