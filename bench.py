@@ -240,12 +240,16 @@ def main() -> None:
     ours_walls, ours_cpus, ref_walls, ref_cpus = [], [], [], []
     inp_walls, inp_cpus = [], []
     max_ab = int(os.environ.get("SPARC_BENCH_AB_MAX", str(n_ab + 3)))
+    budget_s = float(os.environ.get("SPARC_BENCH_AB_BUDGET_S", "600"))
+    ab_t0 = time.perf_counter()
     i = 0
     while i < n_ab or (
         # the host's wall clock swings 2-4x between windows (see
         # BENCH/BASELINE.md): when a window is unstable, keep alternating
-        # (up to max_ab) so the medians are taken over a usable sample
+        # (up to max_ab, within a wall budget) so the medians are taken
+        # over a usable sample
         i < max_ab
+        and time.perf_counter() - ab_t0 < budget_s
         and max(ours_walls) / max(min(ours_walls), 1e-9) > 2.0
     ):
         w, c, out_dir = timed(run_ours, f"ab{i}")
