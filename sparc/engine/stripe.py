@@ -417,9 +417,11 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     for g in range(len(enc.bounds)):
         sl = enc.val_slice(g)
         enc.seg_streams["LENGTH"].append(rlev2.encode(lengths[sl], signed=False))
-        chunk = bytes(data_buf[int(byte_offs[sl.start]) : int(byte_offs[sl.stop])])
+        # zero-copy memoryview slice straight into the block codec (FSST
+        # needs bytes; the raw path never copies the column)
+        chunk = data_buf[int(byte_offs[sl.start]) : int(byte_offs[sl.stop])]
         enc.seg_streams["DATA"].append(
-            fsst.compress(chunk, table) if table is not None else chunk
+            fsst.compress(bytes(chunk), table) if table is not None else chunk
         )
         rg_string_stats(g)
     if table is not None:
