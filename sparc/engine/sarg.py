@@ -222,6 +222,50 @@ def keep(
     return is_needed(evaluate(pred, column_stats, probes))
 
 
+def to_spark_column(pred: tuple):
+    """Compile a predicate tree to a Catalyst Column — the row-level
+    filter layer (``FilterFactory.createSArgFilter``
+    FilterFactory.java:111-159): the SAME tree drives stripe pruning,
+    row-group pruning, and the residual row filter.  Comparisons use
+    Spark semantics on the decoded column types, so literals must be
+    comparable to the column (e.g. a timestamp column compares against a
+    timestamp/py-datetime literal, while the stats domain uses raw
+    integers — pass the appropriate form at each level)."""
+    from pyspark.sql import functions as F
+
+    op = pred[0]
+    if op == "and":
+        out = to_spark_column(pred[1])
+        for child in pred[2:]:
+            out = out & to_spark_column(child)
+        return out
+    if op == "or":
+        out = to_spark_column(pred[1])
+        for child in pred[2:]:
+            out = out | to_spark_column(child)
+        return out
+    if op == "not":
+        return ~to_spark_column(pred[1])
+    col = F.col(pred[1])
+    if op == "is_null":
+        return col.isNull()
+    if op == "=":
+        return col == F.lit(pred[2])
+    if op == "<":
+        return col < F.lit(pred[2])
+    if op == "<=":
+        return col <= F.lit(pred[2])
+    if op == ">":
+        return col > F.lit(pred[2])
+    if op == ">=":
+        return col >= F.lit(pred[2])
+    if op == "in":
+        return col.isin(list(pred[2]))
+    if op == "between":
+        return col.between(F.lit(pred[2]), F.lit(pred[3]))
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 def columns_of(pred: tuple) -> set[str]:
     """Column names referenced anywhere in a predicate tree."""
     op = pred[0]

@@ -91,6 +91,7 @@ def run_decode(
     n_partitions: int | None = None,
     stripe_filter: tuple | None = None,
     rowgroup_prune: bool = True,
+    row_filter: bool = False,
     cast_to: dict[str, str] | None = None,
     reader_schema: str | None = None,
     positional: bool = False,
@@ -106,9 +107,12 @@ def run_decode(
     ``("and", ("between", "ts", a, b), ("not", ("is_null", "url")))``.
     Evaluation runs in executors over the footer metadata rows and the
     kept-stripe set reaches the scan via a broadcast semi-join — no
-    driver-side collect anywhere on the read path.  Note this prunes, it
-    does not filter rows: apply the row predicate on the decoded
-    DataFrame as usual (Catalyst handles it).
+    driver-side collect anywhere on the read path.  Pruning alone
+    returns a superset of matching rows; ``row_filter=True`` additionally
+    compiles the SAME tree to a Catalyst row filter on the decoded
+    output (the reference's three filter levels from one SearchArgument
+    — requires every predicate column in the decoded schema and
+    literals comparable to the decoded types).
 
     ``cast_to={column: spark_type_ddl}`` is the per-column conversion
     surface (SURVEY.md §2.8): reader-schema conversions are Catalyst
@@ -189,6 +193,10 @@ def run_decode(
                 for f in out.schema.fields
             ]
         )
+    if row_filter and pred is not None:
+        from ..engine import sarg as sarg_mod
+
+        out = out.filter(sarg_mod.to_spark_column(pred))
     if evolution is not None:
         out = out.select(
             *[

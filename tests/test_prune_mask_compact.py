@@ -107,6 +107,27 @@ def test_composite_predicate_pruning(spark, pages_path, streams_dir):
     assert decode_job.prune_stripes_df(spark, streams_dir, some).count() == total
 
 
+def test_three_level_filter_from_one_predicate(spark, pages_path, streams_dir):
+    """row_filter=True: the same sarg tree prunes stripes, prunes row
+    groups, and filters rows — output equals the plain-DataFrame filter."""
+    df = spark.read.parquet(pages_path)
+    pred = (
+        "and",
+        ("between", "url", "https://a", "https://m"),
+        ("in", "lang", ["en", "de", "fr"]),
+    )
+    got = decode_job.run_decode(
+        spark, streams_dir, stripe_filter=pred, row_filter=True
+    )
+    want = df.filter(
+        (F.col("url") >= "https://a") & (F.col("url") <= "https://m")
+        & F.col("lang").isin(["en", "de", "fr"])
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # bloom pruning
 # ---------------------------------------------------------------------------
