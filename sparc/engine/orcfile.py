@@ -27,6 +27,42 @@ import pyarrow as pa
 from ..kernels import bitfield, dictionary, rlev1, rlev2
 from . import stripe as stripe_mod
 
+# --- ORC compressed-stream framing ------------------------------------------
+#
+# With a compression kind set, EVERY stream plus the stripe footers and
+# the file footer/metadata are chunked with the reference's 3-byte header
+# (``OutStream.writeHeader`` OutStream.java:186-189: little-endian
+# ``compressedLength << 1 | isOriginal``), store-original-if-bigger per
+# chunk.  ORC ZLIB is raw DEFLATE (no zlib wrapper).
+
+_ORC_CHUNK = 256 * 1024  # orc.compress.size default
+
+
+def _deflate(data: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
+    return c.compress(data) + c.flush()
+
+
+def _orc_compress(data: bytes, kind: str) -> bytes:
+    if kind == "NONE":
+        return data
+    out = bytearray()
+    for pos in range(0, len(data), _ORC_CHUNK):
+        chunk = bytes(data[pos : pos + _ORC_CHUNK])
+        comp = _deflate(chunk)
+        if len(comp) < len(chunk):
+            head = len(comp) << 1
+            body = comp
+        else:
+            head = (len(chunk) << 1) | 1  # stored original
+            body = chunk
+        out += head.to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
 # --- protobuf primitives ----------------------------------------------------
 
 
@@ -160,13 +196,17 @@ def _min_stats(n_values: int, has_null: bool) -> bytes:
 
 def write_orc(
     table: pa.Table, path: str, rows_per_stripe: int = 100_000,
-    version: str = "0.12",
+    version: str = "0.12", compression: str = "NONE",
 ) -> None:
     """Write ``table`` (flat schema) as an ORC file at ``path``.
 
     ``version="0.11"`` emits the legacy RLEv1 layout (cross-read oracle
-    for the rlev1 kernel)."""
+    for the rlev1 kernel).  ``compression="ZLIB"`` wraps every stream and
+    protobuf section in the reference's 3-byte-header chunked framing
+    (cross-read oracle for the compressed-stream contract)."""
     v11 = version == "0.11"
+    if compression not in ("NONE", "ZLIB"):
+        raise NotImplementedError(f"orcfile: compression {compression}")
     n_cols = table.num_columns
     out = bytearray(b"ORC")
     header_len = 3
@@ -188,8 +228,9 @@ def write_orc(
             streams, enc = _encode_column(col, v11)
             encodings.append(enc)
             for kind, blob in streams:
-                stream_meta.append((kind, i + 1, len(blob)))
-                data += blob
+                wrapped = _orc_compress(blob, compression)
+                stream_meta.append((kind, i + 1, len(wrapped)))
+                data += wrapped
         out += data
         # StripeFooter: streams=1, columns(encodings)=2, writerTimezone=3
         sf = bytearray()
@@ -199,9 +240,10 @@ def write_orc(
         for e in encodings:
             sf += _f_bytes(2, e)
         sf += _f_bytes(3, b"UTC")
-        out += sf
+        sf_wrapped = _orc_compress(bytes(sf), compression)
+        out += sf_wrapped
         stripe_infos.append(
-            (stripe_offset, 0, len(data), len(sf), chunk.num_rows)
+            (stripe_offset, 0, len(data), len(sf_wrapped), chunk.num_rows)
         )
 
     content_length = len(out)
@@ -235,12 +277,15 @@ def write_orc(
             7, _min_stats(total_rows - col.null_count, col.null_count > 0)
         )
     footer += _f_varint(8, 0)  # rowIndexStride = 0 (no row index)
-    out += footer
+    footer_wrapped = _orc_compress(bytes(footer), compression)
+    out += footer_wrapped
 
     # PostScript
     ps = bytearray()
-    ps += _f_varint(1, len(footer))
-    ps += _f_varint(2, _COMPRESSION_NONE)
+    ps += _f_varint(1, len(footer_wrapped))
+    ps += _f_varint(2, 1 if compression == "ZLIB" else _COMPRESSION_NONE)
+    if compression != "NONE":
+        ps += _f_varint(3, _ORC_CHUNK)  # compressionBlockSize
     ps += _f_packed(4, [0, 11] if v11 else [0, 12])  # file version
     ps += _f_varint(5, 0)  # metadataLength
     ps += _f_varint(6, 1)  # writerVersion

@@ -99,6 +99,44 @@ def test_pages_fixture_cross_read(tmp_path):
     _cross_read(t, tmp_path / "pages.orc", rows_per_stripe=5000)
 
 
+def test_zlib_compressed_cross_read(tmp_path):
+    """compression=ZLIB: every stream + protobuf section wrapped in the
+    reference's 3-byte-header chunked framing (raw DEFLATE,
+    store-original-if-bigger) — the C++ reader decoding it is the
+    conformance oracle for the compressed-stream contract."""
+    from sparc.fixtures import pages
+
+    t = pages.generate(8000, seed=44, row_offset=0)
+    path = str(tmp_path / "z.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=3000, compression="ZLIB")
+    f = pa.orc.ORCFile(path)
+    assert f.compression == "ZLIB"
+    _cross_read_table(f.read(), t)
+    # incompressible payloads exercise the stored-original chunk flag
+    rng = np.random.default_rng(9)
+    t2 = pa.table(
+        {
+            "blob": pa.array(
+                [bytes(rng.integers(0, 256, 2000).astype(np.uint8)) for _ in range(300)],
+                pa.binary(),
+            )
+        }
+    )
+    path2 = str(tmp_path / "z2.orc")
+    orcfile.write_orc(t2, path2, compression="ZLIB")
+    _cross_read_table(pa.orc.ORCFile(path2).read(), t2)
+
+
+def _cross_read_table(got: pa.Table, want: pa.Table) -> None:
+    assert got.num_rows == want.num_rows
+    for name in want.schema.names:
+        a = got[name].combine_chunks()
+        b = want[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+
+
 def test_v011_rlev1_cross_read(tmp_path):
     """version='0.11' emits the legacy RLEv1 layout; the C++ reader
     decoding it is the conformance oracle for the rlev1 kernel."""
