@@ -11,7 +11,9 @@ the strongest available oracle that the kernel wire formats match the
 ORC spec bit-for-bit — far stronger than self round-trips.
 
 Scope (deliberately minimal — an oracle, not the product sink):
-- compression NONE (no chunk headers), rowIndexStride 0 (no row index)
+- compression NONE or ZLIB (the reference's 3-byte-header chunk
+  framing, raw DEFLATE, store-original-if-bigger); rowIndexStride 0
+- file versions 0.12 (RLEv2) and legacy 0.11 (RLEv1)
 - flat struct schema of: int32/int64, double/float, string (dict or
   direct), binary, bool, date32, timestamp[us] (writerTimezone UTC)
 - nullable columns via PRESENT streams
