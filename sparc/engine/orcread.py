@@ -1,0 +1,265 @@
+"""Read REAL ORC files with this engine's own kernels — the reverse
+cross-validation direction: the reference writer (Spark's orc-core /
+pyarrow) produces the file, OUR RLEv2 / byte-RLE / bitfield / dictionary
+decoders reconstruct it.  Together with ``orcfile`` (our writer → their
+readers) this closes the loop on wire-format conformance.
+
+Scope (an oracle, not the product read path): compression NONE / ZLIB /
+SNAPPY / ZSTD, flat struct schema of int8..int64, date32, double/float,
+bool, string (DIRECT_V2 / DICTIONARY_V2), binary, timestamp;
+row-index streams are skipped (we read whole stripes).
+
+Tail layout per ``ReaderImpl.extractPostScript/extractFileTail``
+(ReaderImpl.java:649-667, 454-501); stream directory per
+``StripePlanner.parseStripe`` (StripePlanner.java:142-158)."""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import bitfield, rlev2
+from . import stripe as stripe_mod
+
+# --- minimal protobuf parser ------------------------------------------------
+
+
+def _parse_pb(data: bytes | memoryview) -> dict[int, list]:
+    """field number -> list of raw values (ints for varint, memoryview for
+    length-delimited; fixed64/32 returned as ints)."""
+    out: dict[int, list] = {}
+    mv = memoryview(data)
+    pos = 0
+    n = len(mv)
+    while pos < n:
+        key, pos = _varint(mv, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _varint(mv, pos)
+        elif wire == 2:
+            ln, pos = _varint(mv, pos)
+            v = mv[pos : pos + ln]
+            pos += ln
+        elif wire == 1:
+            v = int.from_bytes(mv[pos : pos + 8], "little")
+            pos += 8
+        elif wire == 5:
+            v = int.from_bytes(mv[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _varint(mv: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = mv[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _packed_varints(raw) -> list[int]:
+    mv = memoryview(raw)
+    out = []
+    pos = 0
+    while pos < len(mv):
+        v, pos = _varint(mv, pos)
+        out.append(v)
+    return out
+
+
+# --- compressed-stream inflation --------------------------------------------
+
+_KINDS = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4", 5: "ZSTD"}
+
+
+def _inflate(data: bytes | memoryview, kind: str) -> bytes:
+    if kind == "NONE":
+        return bytes(data)
+    mv = memoryview(data)
+    out = bytearray()
+    pos = 0
+    while pos < len(mv):
+        head = int.from_bytes(mv[pos : pos + 3], "little")
+        pos += 3
+        clen, original = head >> 1, head & 1
+        chunk = mv[pos : pos + clen]
+        pos += clen
+        if original:
+            out += chunk
+        elif kind == "ZLIB":
+            out += _zlib.decompress(bytes(chunk), -15)  # raw deflate
+        elif kind == "SNAPPY":
+            # raw snappy embeds the uncompressed length as a leading varint
+            size, _ = _varint(chunk, 0)
+            out += pa.Codec("snappy").decompress(bytes(chunk), size)
+        elif kind == "ZSTD":
+            out += pa.Codec("zstd").decompress(
+                bytes(chunk), _zstd_content_size(chunk)
+            )
+        else:
+            raise NotImplementedError(f"orcread: codec {kind}")
+    return bytes(out)
+
+
+def _zstd_content_size(chunk) -> int:
+    """Frame-header content size (the reference's one-shot ZSTD_compress
+    always records it)."""
+    mv = memoryview(chunk)
+    assert int.from_bytes(mv[0:4], "little") == 0xFD2FB528, "not a zstd frame"
+    fhd = mv[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    pos = 5 + (0 if single_segment else 1) + did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame without content size")
+        return mv[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(mv[pos : pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(mv[pos : pos + 4], "little")
+    return int.from_bytes(mv[pos : pos + 8], "little")
+
+
+# --- ORC enums ---------------------------------------------------------------
+
+_TYPE_KINDS = {
+    0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
+    6: "double", 7: "string", 8: "binary", 9: "timestamp", 12: "struct",
+    15: "date",
+}
+_STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
+                5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
+                7: "BLOOM_FILTER"}
+_INT_WIDTH = {"byte": pa.int8(), "short": pa.int16(), "int": pa.int32(),
+              "long": pa.int64()}
+
+
+def read_orc(path: str) -> pa.Table:
+    """Parse + decode an ORC file with this engine's kernels."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = _parse_pb(data[-1 - ps_len : -1])
+    footer_len = ps[1][0]
+    kind = _KINDS[ps.get(2, [0])[0]]
+    footer = _parse_pb(_inflate(data[-1 - ps_len - footer_len : -1 - ps_len], kind))
+
+    types = [_parse_pb(t) for t in footer[4]]
+    root = types[0]
+    assert _TYPE_KINDS[root.get(1, [0])[0]] == "struct"
+    subtypes = _packed_varints(root[2][0]) if 2 in root else []
+    names = [bytes(b).decode() for b in root.get(3, [])]
+
+    stripes = []
+    for s in footer.get(3, []):
+        sp = _parse_pb(s)
+        stripes.append(
+            {
+                "offset": sp[1][0],
+                "index_len": sp.get(2, [0])[0],
+                "data_len": sp[3][0],
+                "footer_len": sp[4][0],
+                "n_rows": sp[5][0],
+            }
+        )
+
+    col_chunks: dict[int, list[pa.Array]] = {i: [] for i in range(len(names))}
+    for st in stripes:
+        base = st["offset"]
+        sf_raw = _inflate(
+            data[base + st["index_len"] + st["data_len"] :
+                 base + st["index_len"] + st["data_len"] + st["footer_len"]],
+            kind,
+        )
+        sf = _parse_pb(sf_raw)
+        streams = [_parse_pb(x) for x in sf.get(1, [])]
+        encodings = [_parse_pb(x) for x in sf.get(2, [])]
+        # stream payloads laid out sequentially from the stripe start
+        pos = base
+        per_col: dict[int, dict[str, bytes]] = {}
+        for stream in streams:
+            skind = _STREAM_KIND.get(stream.get(1, [0])[0], "?")
+            col = stream.get(2, [0])[0]
+            ln = stream.get(3, [0])[0]
+            if skind not in ("ROW_INDEX", "BLOOM_FILTER", "BLOOM_FILTER_UTF8", "?"):
+                per_col.setdefault(col, {})[skind] = _inflate(
+                    data[pos : pos + ln], kind
+                )
+            pos += ln
+        for i, type_id in enumerate(subtypes):
+            arr = _decode_orc_column(
+                types[type_id],
+                per_col.get(type_id, {}),
+                encodings[type_id],
+                st["n_rows"],
+            )
+            col_chunks[i].append(arr)
+
+    cols = [pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
+            for chunks in (col_chunks[i] for i in range(len(names)))]
+    return pa.table(dict(zip(names, cols)))
+
+
+def _decode_orc_column(
+    type_pb: dict, streams: dict[str, bytes], enc_pb: dict, n_rows: int
+) -> pa.Array:
+    tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
+    enc_kind = enc_pb.get(1, [0])[0]  # 0 DIRECT, 1 DICT, 2 DIRECT_V2, 3 DICT_V2
+    valid = None
+    n_vals = n_rows
+    if "PRESENT" in streams:
+        valid = bitfield.decode(streams["PRESENT"], n_rows)
+        n_vals = int(valid.sum())
+        if n_vals == n_rows:
+            valid = None
+
+    def scatter(vals: np.ndarray, t: pa.DataType) -> pa.Array:
+        return stripe_mod._scatter_numeric(vals, valid, n_rows, t)
+
+    if tk in _INT_WIDTH:
+        vals = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        return scatter(vals.astype(_INT_WIDTH[tk].to_pandas_dtype()), _INT_WIDTH[tk])
+    if tk == "date":
+        vals = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        return scatter(vals.astype(np.int32), pa.date32())
+    if tk in ("double", "float"):
+        np_t = np.float64 if tk == "double" else np.float32
+        vals = np.frombuffer(streams["DATA"], dtype=np.dtype(np_t).newbyteorder("<"))
+        return scatter(vals.astype(np_t), pa.float64() if tk == "double" else pa.float32())
+    if tk == "boolean":
+        vals = bitfield.decode(streams["DATA"], n_vals)
+        return scatter(vals, pa.bool_())
+    if tk == "timestamp":
+        seconds = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        nanos = stripe_mod.parse_nanos(
+            rlev2.decode(streams["SECONDARY"], n_vals, signed=False)
+        )
+        us = (seconds + stripe_mod.TS_BASE_SECONDS) * 1_000_000 + nanos // 1_000
+        return scatter(us, pa.timestamp("us"))
+    if tk in ("string", "binary"):
+        t = pa.string() if tk == "string" else pa.binary()
+        if enc_kind in (1, 3):  # DICTIONARY / DICTIONARY_V2
+            nd = enc_pb.get(2, [0])[0]
+            dlens = rlev2.decode(streams["LENGTH"], nd, signed=False)
+            dblob = np.frombuffer(streams["DICTIONARY_DATA"], np.uint8)
+            codes = rlev2.decode(streams["DATA"], n_vals, signed=False)
+            doffs = np.concatenate(([0], np.cumsum(dlens)))
+            row_lens = dlens[codes] if n_vals else np.zeros(0, dtype=np.int64)
+            buf = stripe_mod._ragged_gather(dblob, doffs[codes], row_lens)
+            return stripe_mod._build_binary(buf, row_lens, valid, n_rows, t)
+        row_lens = rlev2.decode(streams["LENGTH"], n_vals, signed=False)
+        return stripe_mod._build_binary(
+            np.frombuffer(streams["DATA"], np.uint8), row_lens, valid, n_rows, t
+        )
+    raise NotImplementedError(f"orcread: type {tk}")
