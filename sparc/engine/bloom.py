@@ -47,10 +47,29 @@ def optimal_params(n: int, fpp: float = DEFAULT_FPP) -> tuple[int, int]:
     return m, min(k, 15)
 
 
+def _to_bytes_series(values: pd.Series) -> pd.Series:
+    """Normalize an object-dtype series to utf-8 bytes.  str and bytes
+    share pandas dtype 'object' but hash differently — without this, a
+    bytes probe against a str-built filter (or vice versa) would be a
+    silent false negative, the one failure mode the contract forbids."""
+    inferred = pd.api.types.infer_dtype(values, skipna=True)
+    if inferred == "bytes":
+        return values
+    if inferred == "string":
+        return values.str.encode("utf-8")
+    return values.map(lambda v: v.encode("utf-8") if isinstance(v, str) else v)
+
+
 def build(values: pd.Series, fpp: float = DEFAULT_FPP) -> bytes:
     """Build a serialized bloom filter over non-null values."""
     m, k = optimal_params(len(values), fpp)
-    dtype = str(values.dtype).encode()
+    if str(values.dtype) == "object":
+        values = _to_bytes_series(values)
+        # versioned dtype tag: probes normalize str->bytes the same way;
+        # plain "object" tags (legacy files) keep the old probe path
+        dtype = b"object/b"
+    else:
+        dtype = str(values.dtype).encode()
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     if len(values):
         h1, h2 = _hashes(values)
@@ -110,12 +129,19 @@ def might_contain(blob: bytes, value) -> bool:
     m, k, dlen = _HEADER.unpack_from(blob, 0)
     dtype = blob[_HEADER.size : _HEADER.size + dlen].decode()
     bits = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size + dlen)
-    probe = pd.Series([value])
-    if str(probe.dtype) != dtype:
-        try:
-            probe = probe.astype(dtype)
-        except (ValueError, TypeError):
-            return True  # cannot represent in the built dtype: cannot skip
+    if dtype == "object/b":
+        if isinstance(value, str):
+            value = value.encode("utf-8")
+        elif not isinstance(value, bytes):
+            return True  # non-stringlike probe vs string filter: cannot skip
+        probe = pd.Series([value], dtype=object)
+    else:
+        probe = pd.Series([value])
+        if str(probe.dtype) != dtype:
+            try:
+                probe = probe.astype(dtype)
+            except (ValueError, TypeError):
+                return True  # cannot represent in the built dtype: cannot skip
     h1, h2 = _hashes(probe)
     um = np.uint64(m)
     with np.errstate(over="ignore"):

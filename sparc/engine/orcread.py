@@ -6,7 +6,10 @@ readers) this closes the loop on wire-format conformance.
 
 Scope (an oracle, not the product read path): compression NONE / ZLIB /
 SNAPPY / ZSTD, flat struct schema of int8..int64, date32, double/float,
-bool, string (DIRECT_V2 / DICTIONARY_V2), binary, timestamp;
+bool, string (DIRECT / DICTIONARY v1 *and* DIRECT_V2 / DICTIONARY_V2 —
+the ColumnEncoding kind selects RLEv1 vs RLEv2 per stream, mirroring
+TreeReaderFactory's reader-version dispatch), binary, timestamp
+(UTC writerTimezone only — anything else raises rather than drifting);
 row-index streams are skipped (we read whole stripes).
 
 Tail layout per ``ReaderImpl.extractPostScript/extractFileTail``
@@ -20,7 +23,7 @@ import zlib as _zlib
 import numpy as np
 import pyarrow as pa
 
-from ..kernels import bitfield, rlev2
+from ..kernels import bitfield, rlev1, rlev2
 from . import stripe as stripe_mod
 
 # --- minimal protobuf parser ------------------------------------------------
@@ -185,6 +188,10 @@ def read_orc(path: str) -> pa.Table:
         sf = _parse_pb(sf_raw)
         streams = [_parse_pb(x) for x in sf.get(1, [])]
         encodings = [_parse_pb(x) for x in sf.get(2, [])]
+        # StripeFooter.writerTimezone (field 3): timestamp seconds are
+        # wall-clock in this zone; only UTC decodes without per-value
+        # DST adjustment, so anything else must fail loudly, not drift
+        writer_tz = bytes(sf[3][0]).decode() if 3 in sf else "UTC"
         # stream payloads laid out sequentially from the stripe start
         pos = base
         per_col: dict[int, dict[str, bytes]] = {}
@@ -203,6 +210,7 @@ def read_orc(path: str) -> pa.Table:
                 per_col.get(type_id, {}),
                 encodings[type_id],
                 st["n_rows"],
+                writer_tz,
             )
             col_chunks[i].append(arr)
 
@@ -212,10 +220,15 @@ def read_orc(path: str) -> pa.Table:
 
 
 def _decode_orc_column(
-    type_pb: dict, streams: dict[str, bytes], enc_pb: dict, n_rows: int
+    type_pb: dict, streams: dict[str, bytes], enc_pb: dict, n_rows: int,
+    writer_tz: str = "UTC",
 ) -> pa.Array:
     tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
     enc_kind = enc_pb.get(1, [0])[0]  # 0 DIRECT, 1 DICT, 2 DIRECT_V2, 3 DICT_V2
+    # ColumnEncoding selects the integer coder: DIRECT/DICTIONARY carry
+    # RLEv1 streams (0.11-era), *_V2 carry RLEv2 (RunLengthIntegerReader
+    # vs RunLengthIntegerReaderV2 dispatch, TreeReaderFactory)
+    rle = rlev1 if enc_kind in (0, 1) else rlev2
     valid = None
     n_vals = n_rows
     if "PRESENT" in streams:
@@ -228,10 +241,10 @@ def _decode_orc_column(
         return stripe_mod._scatter_numeric(vals, valid, n_rows, t)
 
     if tk in _INT_WIDTH:
-        vals = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        vals = rle.decode(streams["DATA"], n_vals, signed=True)
         return scatter(vals.astype(_INT_WIDTH[tk].to_pandas_dtype()), _INT_WIDTH[tk])
     if tk == "date":
-        vals = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        vals = rle.decode(streams["DATA"], n_vals, signed=True)
         return scatter(vals.astype(np.int32), pa.date32())
     if tk in ("double", "float"):
         np_t = np.float64 if tk == "double" else np.float32
@@ -241,9 +254,14 @@ def _decode_orc_column(
         vals = bitfield.decode(streams["DATA"], n_vals)
         return scatter(vals, pa.bool_())
     if tk == "timestamp":
-        seconds = rlev2.decode(streams["DATA"], n_vals, signed=True)
+        if writer_tz not in ("UTC", "GMT", "Etc/UTC", "Etc/GMT"):
+            raise NotImplementedError(
+                f"orcread: non-UTC writerTimezone {writer_tz!r} needs "
+                "per-value DST adjustment; refusing to decode with drift"
+            )
+        seconds = rle.decode(streams["DATA"], n_vals, signed=True)
         nanos = stripe_mod.parse_nanos(
-            rlev2.decode(streams["SECONDARY"], n_vals, signed=False)
+            rle.decode(streams["SECONDARY"], n_vals, signed=False)
         )
         us = (seconds + stripe_mod.TS_BASE_SECONDS) * 1_000_000 + nanos // 1_000
         return scatter(us, pa.timestamp("us"))
@@ -251,14 +269,14 @@ def _decode_orc_column(
         t = pa.string() if tk == "string" else pa.binary()
         if enc_kind in (1, 3):  # DICTIONARY / DICTIONARY_V2
             nd = enc_pb.get(2, [0])[0]
-            dlens = rlev2.decode(streams["LENGTH"], nd, signed=False)
+            dlens = rle.decode(streams["LENGTH"], nd, signed=False)
             dblob = np.frombuffer(streams["DICTIONARY_DATA"], np.uint8)
-            codes = rlev2.decode(streams["DATA"], n_vals, signed=False)
+            codes = rle.decode(streams["DATA"], n_vals, signed=False)
             doffs = np.concatenate(([0], np.cumsum(dlens)))
             row_lens = dlens[codes] if n_vals else np.zeros(0, dtype=np.int64)
             buf = stripe_mod._ragged_gather(dblob, doffs[codes], row_lens)
             return stripe_mod._build_binary(buf, row_lens, valid, n_rows, t)
-        row_lens = rlev2.decode(streams["LENGTH"], n_vals, signed=False)
+        row_lens = rle.decode(streams["LENGTH"], n_vals, signed=False)
         return stripe_mod._build_binary(
             np.frombuffer(streams["DATA"], np.uint8), row_lens, valid, n_rows, t
         )

@@ -75,11 +75,15 @@ def or_(a: frozenset, b: frozenset) -> frozenset:
     return frozenset(_or3(x, y) for x in a for y in b)
 
 
-def _normalize(probe, lo, hi, kind: str | None):
+def _normalize(probe, lo, hi, stats: dict):
     """Coerce (probe, min, max) into one comparable domain, or raise
-    TypeError when no safe comparison exists."""
+    TypeError when no safe comparison exists.  Returned min may be ""
+    (unbounded below) and max may be None (unbounded above) when the
+    stored string bound is lossy."""
     if isinstance(probe, bytes):
-        probe = probe.decode("utf-8", "replace")
+        # strict: an invalid-UTF-8 probe has no sound ordering vs string
+        # stats; UnicodeDecodeError -> CANNOT_SKIP via the caller
+        probe = probe.decode("utf-8")
     if isinstance(lo, bool) or isinstance(probe, bool):
         return bool(probe), bool(lo), bool(hi)
     if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
@@ -91,11 +95,22 @@ def _normalize(probe, lo, hi, kind: str | None):
     if isinstance(lo, str) and isinstance(hi, str):
         if not isinstance(probe, str):
             raise TypeError(f"probe {type(probe)} vs string stats")
-        # a max truncated at the storage limit is only a prefix -> the true
-        # max is >= it but unknown: treat the upper bound as +inf.  (The
-        # truncated min is still a valid lower bound: prefix <= original.)
-        if len(hi) >= STRING_STAT_TRUNCATE:
+        # Lossy bounds (truncation or replace-decoding, stats._truncate)
+        # are not the true extremes: a lossy max is a prefix of an unknown
+        # larger value -> +inf; a lossy min may have had U+FFFD injected
+        # above the true bytes -> unbounded below ("" sorts <= any str).
+        # Legacy footers predate the flags: infer from stored length /
+        # replacement chars, conservatively.
+        hi_lossy = stats.get("max_trunc")
+        if hi_lossy is None:
+            hi_lossy = len(hi) >= STRING_STAT_TRUNCATE or "�" in hi
+        lo_lossy = stats.get("min_trunc")
+        if lo_lossy is None:
+            lo_lossy = len(lo) >= STRING_STAT_TRUNCATE or "�" in lo
+        if hi_lossy:
             hi = None
+        if lo_lossy:
+            lo = ""
         return probe, lo, hi
     raise TypeError(f"unsupported stats domain {type(lo)}/{type(hi)}")
 
@@ -126,7 +141,7 @@ def _eval_leaf(pred: tuple, stats: dict | None, probe=None) -> frozenset:
         return CANNOT_SKIP
     try:
         if op == "in":
-            vals = [_normalize(v, lo, hi, stats.get("kind")) for v in pred[2]]
+            vals = [_normalize(v, lo, hi, stats) for v in pred[2]]
             if not vals or all(_definitely_out(p, l, h) for p, l, h in vals):
                 return _with_null(NO, has_null)
             if probe is not None and not any(probe(v) for v in pred[2]):
@@ -136,14 +151,14 @@ def _eval_leaf(pred: tuple, stats: dict | None, probe=None) -> frozenset:
                 return _with_null(YES, has_null)  # constant region, value hit
             return _with_null(YES_NO, has_null)
         if op == "between":
-            p_lo, s_lo, s_hi = _normalize(pred[2], lo, hi, stats.get("kind"))
-            p_hi, _, _ = _normalize(pred[3], lo, hi, stats.get("kind"))
+            p_lo, s_lo, s_hi = _normalize(pred[2], lo, hi, stats)
+            p_hi, _, _ = _normalize(pred[3], lo, hi, stats)
             if (s_hi is not None and s_hi < p_lo) or s_lo > p_hi:
                 return _with_null(NO, has_null)
             if s_lo >= p_lo and (s_hi is not None and s_hi <= p_hi):
                 return _with_null(YES, has_null)
             return _with_null(YES_NO, has_null)
-        probe_v, s_lo, s_hi = _normalize(pred[2], lo, hi, stats.get("kind"))
+        probe_v, s_lo, s_hi = _normalize(pred[2], lo, hi, stats)
         if op == "=":
             if _definitely_out(probe_v, s_lo, s_hi):
                 return _with_null(NO, has_null)

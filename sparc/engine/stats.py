@@ -34,26 +34,46 @@ class ColumnStats:
 
     def to_dict(self) -> dict:
         mn, mx = self.minimum, self.maximum
+        mn_t = mx_t = False
         if self.kind in ("string", "binary"):
-            mn = _truncate(mn)
-            mx = _truncate(mx)
+            mn, mn_t = _truncate(mn)
+            mx, mx_t = _truncate(mx)
         return {
             "kind": self.kind,
             "n_values": self.n_values,
             "n_nulls": self.n_nulls,
             "min": mn,
             "max": mx,
+            # explicit lossy-bound markers (the reference proto's
+            # lowerBound/upperBound distinction): a True flag means the
+            # stored text is NOT the exact column extreme and pruning must
+            # treat the bound as unknown in that direction
+            "min_trunc": mn_t,
+            "max_trunc": mx_t,
             "sum": self.total,
             "n_distinct": self.n_distinct,
         }
 
 
-def _truncate(v):
+def _truncate(v) -> tuple:
+    """(stored text, lossy flag).  Bytes are cut at a UTF-8 character
+    boundary so the cut itself never fabricates U+FFFD; any replacement
+    char remaining means the value wasn't valid UTF-8 (binary), which is
+    just as lossy for ordering purposes, so it also sets the flag."""
     if v is None:
-        return None
+        return None, False
     if isinstance(v, bytes):
-        return v[:STRING_STAT_TRUNCATE].decode("utf-8", "replace")
-    return str(v)[:STRING_STAT_TRUNCATE]
+        lossy = len(v) > STRING_STAT_TRUNCATE
+        cut = v[:STRING_STAT_TRUNCATE]
+        if lossy:
+            while cut and (cut[-1] & 0xC0) == 0x80:
+                cut = cut[:-1]
+            if cut and cut[-1] >= 0xC0:
+                cut = cut[:-1]
+        text = cut.decode("utf-8", "replace")
+        return text, lossy or "�" in text
+    s = str(v)
+    return s[:STRING_STAT_TRUNCATE], len(s) > STRING_STAT_TRUNCATE
 
 
 def int_stats(values: np.ndarray, n_nulls: int, kind: str = "int") -> ColumnStats:

@@ -122,6 +122,11 @@ class _ColumnEncoder:
     column, then compresses into the final (streams, meta) pair."""
 
     def __init__(self, name: str, arr: pa.Array, codec: str, stride: int | None):
+        if stride and stride % 8:
+            # PRESENT/bool bitfield segments are decoded by concatenating
+            # per-group byte runs — only sound when every group boundary
+            # packs to whole bytes
+            raise ValueError(f"row_index_stride must be a multiple of 8, got {stride}")
         self.name = name
         self.arr = arr
         self.codec = codec
@@ -209,6 +214,11 @@ def encode_column(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
+    if pa.types.is_decimal(t) and not pa.types.is_decimal128(t):
+        # decimal32/64 arrays (pyarrow >= 16) use 4/8-byte storage; the
+        # unscaled-int extraction below assumes 16-byte decimal128 words
+        arr = arr.cast(pa.decimal128(t.precision, t.scale))
+        t = arr.type
     enc = _ColumnEncoder(name, arr, codec, stride)
     meta = enc.meta
 

@@ -78,3 +78,77 @@ def test_read_spark_java_written_orc(spark, tmp_path, comp):
     path = glob.glob(out + "/part-*.orc")[0]
     got = _assert_same_as_pyarrow(path)
     assert got.num_rows == 4000
+
+
+def test_read_java_written_v011_rlev1(spark, tmp_path):
+    """v0.11 ingest: the reference Java writer in 0.11 mode emits
+    DIRECT/DICTIONARY (RLEv1) streams — our reader must dispatch on the
+    ColumnEncoding kind, not assume RLEv2 (ADVICE r2)."""
+    from sparc.fixtures import pages
+
+    t = pages.generate(3000, seed=46, row_offset=0)
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("orc.write.format", "0.11")
+    try:
+        out = str(tmp_path / "orc011")
+        (
+            spark.read.parquet(src)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .orc(out)
+        )
+    finally:
+        hconf.unset("orc.write.format")
+    path = glob.glob(out + "/part-*.orc")[0]
+    # prove the file really carries v1 encodings before trusting the test
+    with open(path, "rb") as f:
+        data = f.read()
+    ps = orcread._parse_pb(data[-1 - data[-1] : -1])
+    kind = orcread._KINDS[ps.get(2, [0])[0]]
+    footer = orcread._parse_pb(
+        orcread._inflate(
+            data[-1 - data[-1] - ps[1][0] : -1 - data[-1]], kind
+        )
+    )
+    sp = orcread._parse_pb(footer[3][0])
+    base, ilen, dlen = sp[1][0], sp.get(2, [0])[0], sp[3][0]
+    sf = orcread._parse_pb(
+        orcread._inflate(data[base + ilen + dlen : base + ilen + dlen + sp[4][0]], kind)
+    )
+    enc_kinds = {orcread._parse_pb(x).get(1, [0])[0] for x in sf.get(2, [])}
+    assert enc_kinds <= {0, 1}, f"expected v1 encodings only, got {enc_kinds}"
+    got = _assert_same_as_pyarrow(path)
+    assert got.num_rows == 3000
+
+
+def test_read_own_v011_writer(tmp_path, mixed_table):
+    """Our 0.11 writer's output (pyarrow-verified elsewhere) decoded by
+    our own kernels: RLEv1 integer + length + dict-code streams."""
+    from sparc.engine import orcfile
+
+    path = str(tmp_path / "own011.orc")
+    orcfile.write_orc(mixed_table, path, version="0.11")
+    _assert_same_as_pyarrow(path)
+
+
+def test_non_utc_writer_timezone_refused(tmp_path):
+    """A non-UTC writerTimezone must raise, not silently drift."""
+    import pyarrow.orc
+
+    t = pa.table({"ts": pa.array([1_600_000_000_000_000] * 10, pa.timestamp("us"))})
+    path = str(tmp_path / "ts.orc")
+    pa.orc.write_table(t, path)
+    import sparc.engine.orcread as orv
+
+    orig = orv._decode_orc_column
+    # pyarrow writes UTC; simulate a foreign zone via the parameter path
+    with pytest.raises(NotImplementedError, match="writerTimezone"):
+        orv._decode_orc_column(
+            {1: [9]}, {"DATA": b"", "SECONDARY": b""}, {}, 0, "America/Chicago"
+        )
+    assert orv._decode_orc_column is orig

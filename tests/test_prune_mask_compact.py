@@ -155,6 +155,29 @@ def test_bloom_probe_dtype_mismatch_no_false_negative():
     assert bloom.might_contain(blob2, "not-a-number")
 
 
+def test_bloom_str_bytes_cross_probe_no_false_negative():
+    """ADVICE r2: str and bytes share pandas dtype 'object' but hash
+    differently — both directions must hit after normalization."""
+    svals = pd.Series([f"key-{i}" for i in range(500)])
+    sblob = bloom.build(svals)
+    assert bloom.might_contain(sblob, b"key-7")   # bytes probe vs str build
+    assert bloom.might_contain(sblob, "key-7")
+    bvals = pd.Series([f"key-{i}".encode() for i in range(500)])
+    bblob = bloom.build(bvals)
+    assert bloom.might_contain(bblob, "key-7")    # str probe vs bytes build
+    assert bloom.might_contain(bblob, b"key-7")
+    # mixed str/bytes build normalizes too
+    mix = pd.Series(["alpha", b"beta", "gamma"])
+    mblob = bloom.build(mix)
+    assert bloom.might_contain(mblob, b"alpha")
+    assert bloom.might_contain(mblob, "beta")
+    # non-stringlike probe vs string filter: cannot skip, never false-neg
+    assert bloom.might_contain(sblob, 42)
+    # absent keys still refute through the normalized path
+    fp = sum(bloom.might_contain(sblob, f"absent-{i}") for i in range(500))
+    assert fp < 30
+
+
 def test_bloom_probe_emits_no_runtime_warnings():
     import warnings
 

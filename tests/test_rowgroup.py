@@ -136,6 +136,19 @@ def test_rowgroup_roundtrip_with_nulls():
     assert out.equals(expect)
 
 
+def test_misaligned_stride_rejected():
+    """ADVICE r2: PRESENT segments concatenate per-group byte runs, sound
+    only when each group packs to whole bytes — stride must be %8==0."""
+    import pyarrow as pa
+    import pytest
+
+    from sparc.engine import stripe as stripe_mod
+
+    arr = pa.array([1, None, 3] * 100)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        stripe_mod.encode_column(arr, "c", stride=100)
+
+
 def test_stride_none_emits_legacy_layout():
     t = _sorted_table(100)
     streams, footer = stripe.encode_stripe(t, row_index_stride=None)

@@ -97,6 +97,52 @@ def test_string_semantics_and_truncated_max():
     assert sarg.evaluate(("=", "c", "aaa"), {"c": t}) == NO
 
 
+def test_multibyte_truncated_bounds_never_refute():
+    """ADVICE r2 (high): a multibyte max truncated at 1024 BYTES decodes to
+    < 1024 chars; the old char-length heuristic treated it as exact and
+    falsely pruned.  The stats layer now carries explicit lossy flags and
+    char-boundary truncation; a lossy bound must never refute a probe that
+    could match the untruncated value."""
+    from sparc.engine import stats as stats_mod
+
+    s = stats_mod.string_stats(
+        __import__("numpy").array([3, 4]), 0,
+        minimum=("é" * 800).encode(), maximum=("é" * 800).encode(),
+    ).to_dict()
+    # true max 'é'*800 is 1600 bytes -> stored prefix is ~512 chars; a
+    # probe of 'é'*700 (greater than the stored prefix) MUST stay keepable
+    assert s["max_trunc"] and s["min_trunc"]
+    assert sarg.keep(("=", "c", "é" * 700), {"c": s})
+    assert sarg.keep((">", "c", "é" * 700), {"c": s})
+    # lossy min: replace-decoding may inject U+FFFD above the true bytes,
+    # so '<' over a small probe must also stay keepable
+    assert sarg.keep(("<", "c", "a"), {"c": s})
+    # char-boundary cut: the stored text must not end in U+FFFD
+    assert not s["max"].endswith("�")
+    # untruncated multibyte bounds remain exact and still prune
+    e = stats_mod.string_stats(
+        __import__("numpy").array([3]), 0,
+        minimum="émm".encode(), maximum="émx".encode(),
+    ).to_dict()
+    assert not e["max_trunc"]
+    assert not sarg.keep(("=", "c", "é~~~"), {"c": e})
+
+
+def test_invalid_utf8_probe_and_stats_cannot_skip():
+    # an invalid-UTF-8 bytes probe has no sound ordering: CANNOT_SKIP
+    s = _stats("ham", "spam", kind="string")
+    assert sarg.evaluate(("=", "c", b"\xff\xfe"), {"c": s}) == CANNOT_SKIP
+    # binary stats that replace-decoded to U+FFFD are lossy both ways
+    from sparc.engine import stats as stats_mod
+
+    b = stats_mod.string_stats(
+        __import__("numpy").array([2]), 0,
+        minimum=b"\xff\x01", maximum=b"\xff\x02", kind="binary",
+    ).to_dict()
+    assert b["min_trunc"] and b["max_trunc"]
+    assert sarg.keep(("=", "c", "anything"), {"c": b})
+
+
 # ---------------------------------------------------------------------------
 # TruthValue algebra (mirror SearchArgument.TruthValue tables)
 # ---------------------------------------------------------------------------
