@@ -189,11 +189,19 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def _dict_lang_codes(spark, sf_dir):
-    # sorted-dictionary contract: code = rank of value in byte-sorted uniques
+    # sorted-dictionary contract: code = rank of value in byte-sorted
+    # uniques.  Ranks come from the per-lang DISTINCT set (dictionary-
+    # sized, so the window sorts ~30 rows) broadcast-joined back — a
+    # global Window.orderBy over the full table would funnel every row
+    # through one task, the classic scale-killer at 100x
     docs = _t(spark, sf_dir, "documents")
     w = Window.orderBy("lang")
-    return docs.select(
-        "doc_id", "lang", (F.dense_rank().over(w) - 1).cast("long").alias("code")
+    codes = (
+        docs.select("lang").distinct()
+        .select("lang", (F.dense_rank().over(w) - 1).cast("long").alias("code"))
+    )
+    return docs.select("doc_id", "lang").join(F.broadcast(codes), "lang").select(
+        "doc_id", "lang", "code"
     )
 
 

@@ -96,6 +96,10 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # explicit (it is the default, but the cold-start budget depends
+        # on it): Python workers persist across stages, so per-process
+        # import + allocator warm costs are paid once, not per stage
+        .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )
 
@@ -235,6 +239,10 @@ def main() -> None:
         cpu = proc_tree_cpu_seconds() - c0
         return wall, cpu, path
 
+    # headline strategy is "input" (shuffle-free, the 100 TB shape), so
+    # its cold run goes first — true process-cold, nothing warmed by a
+    # prior system
+    cold_inp, _, _ = timed(run_input, "warmup")
     cold_ours, _, _ = timed(run_ours, "warmup")
     cold_ref, _, _ = timed(run_ref, "warmup")
     ours_walls, ours_cpus, ref_walls, ref_cpus = [], [], [], []
@@ -250,14 +258,14 @@ def main() -> None:
         # over a usable sample
         i < max_ab
         and time.perf_counter() - ab_t0 < budget_s
-        and max(ours_walls) / max(min(ours_walls), 1e-9) > 2.0
+        and max(inp_walls + ours_walls) / max(min(inp_walls + ours_walls), 1e-9) > 2.0
     ):
-        w, c, out_dir = timed(run_ours, f"ab{i}")
-        ours_walls.append(w)
-        ours_cpus.append(c)
         w, c, inp_dir = timed(run_input, f"ab{i}")
         inp_walls.append(w)
         inp_cpus.append(c)
+        w, c, out_dir = timed(run_ours, f"ab{i}")
+        ours_walls.append(w)
+        ours_cpus.append(c)
         w, c, ref_dir = timed(run_ref, f"ab{i}")
         ref_walls.append(w)
         ref_cpus.append(c)
@@ -280,11 +288,14 @@ def main() -> None:
     extras["encode_vs_reference_wall"] = round(enc_wall / ref_wall, 4)
     extras["encode_vs_reference_cpu"] = round(enc_cpu / max(ref_cpu, 1e-9), 4)
     inp_wall, inp_cpu = _median(inp_walls), _median(inp_cpus)
+    timings["encode_pages_input_cold"] = round(cold_inp, 3)
     timings["encode_pages_input"] = round(inp_wall, 3)
     extras["input_walls"] = [round(x, 3) for x in inp_walls]
+    extras["encode_gbps_input_cold"] = round(raw / cold_inp / 1e9, 4)
     extras["encode_gbps_input"] = round(raw / inp_wall / 1e9, 4)
     extras["input_core_s_per_gib"] = round(inp_cpu / gib, 2)
     extras["input_vs_reference_wall"] = round(inp_wall / ref_wall, 4)
+    extras["input_vs_reference_cpu"] = round(inp_cpu / max(ref_cpu, 1e-9), 4)
     ours_bytes = dir_bytes(out_dir)
     ref_bytes = dir_bytes(ref_dir)
     extras["ours_bytes_per_row"] = round(ours_bytes / n_rows, 2)
@@ -329,8 +340,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "pages_encode_gbps",
-                "value": extras["encode_gbps"],
+                # headline = the "input" strategy: shuffle-free, stripe =
+                # input split — the configuration a 100 TB run would use
+                # (the hash-shuffle strategy stays reported alongside)
+                "value": extras["encode_gbps_input"],
                 "unit": "GB/s",
+                "headline_strategy": "input",
                 "queries": timings,
                 "sf": sf,
                 **extras,

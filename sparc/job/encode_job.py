@@ -56,7 +56,7 @@ def _encode_partition_factory(
     bloom_columns: list[str] | None = None,
     fsst: bool | None = None,
     input_split_mode: bool = False,
-    done_stripes: frozenset[int] = frozenset(),
+    done_stripes=frozenset(),  # frozenset[int] | Broadcast[frozenset[int]]
     rows_per_stripe: int = 0,
     row_index_stride: int | None = ROW_INDEX_STRIDE,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
@@ -116,8 +116,12 @@ def _encode_partition_factory(
         buf: list[pa.RecordBatch] = []
         buffered = 0
 
+        # the done set arrives as a Spark Broadcast (one copy per executor,
+        # not per task closure) when run_encode drives the job
+        done = done_stripes.value if hasattr(done_stripes, "value") else done_stripes
+
         def flush(table: pa.Table, sid: int):
-            if sid in done_stripes:
+            if sid in done:
                 return None
             return _emit(table, sid)
 
@@ -165,6 +169,32 @@ def _encode_partition_factory(
     return encode_input_partition if input_split_mode else encode_partition
 
 
+def completed_stripes_df(
+    spark: SparkSession, out_dir: str, fingerprint: str | None = None
+) -> DataFrame | None:
+    """Stripe ids whose FOOTER row is committed, as a DataFrame (column
+    name = the stripe column), or None when the output doesn't exist yet.
+
+    The resume set stays plan-side: callers anti-join against it instead
+    of collecting ids to the driver — at 10^7 stripes a collected
+    ``isin`` literal is a multi-GB plan and a driver bottleneck, while
+    the anti-join is just another (AQE-broadcastable) join."""
+    try:
+        df = spark.read.schema(STREAMS_SCHEMA).parquet(out_dir)
+        df.schema  # force resolution so a missing dir fails here
+    except Exception:
+        return None
+    footers = df.filter(F.col("kind") == "FOOTER")
+    if fingerprint is not None:
+        footers = footers.filter(
+            F.get_json_object(F.col("data").cast("string"), "$.input_fingerprint")
+            == fingerprint
+        )
+    return footers.select(
+        F.col("stripe_id").alias(part_mod.STRIPE_COL)
+    ).distinct()
+
+
 def completed_stripes(
     spark: SparkSession, out_dir: str, fingerprint: str | None = None
 ) -> list[int]:
@@ -173,18 +203,15 @@ def completed_stripes(
     With ``fingerprint``, only stripes encoded from the same input
     fingerprint count as done — a changed input snapshot/reader conf must
     not silently reuse stripe ids for different content ("input" strategy
-    ids are positional, so this check is what makes its resume safe)."""
-    try:
-        df = spark.read.schema(STREAMS_SCHEMA).parquet(out_dir)
-    except Exception:
+    ids are positional, so this check is what makes its resume safe).
+
+    Driver-side list wrapper over :func:`completed_stripes_df` — for the
+    "input" strategy (whose worker-local ids can't be anti-joined before
+    they exist) and tests; the batch resume path uses the DataFrame."""
+    df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
+    if df is None:
         return []
-    footers = df.filter(F.col("kind") == "FOOTER")
-    if fingerprint is not None:
-        footers = footers.filter(
-            F.get_json_object(F.col("data").cast("string"), "$.input_fingerprint")
-            == fingerprint
-        )
-    return [r[0] for r in footers.select("stripe_id").distinct().collect()]
+    return [r[0] for r in df.collect()]
 
 
 def run_encode(
@@ -226,11 +253,19 @@ def run_encode(
         )
         fn = _encode_partition_factory(
             codec, sort_within, fingerprint, bloom_columns, fsst,
-            input_split_mode=True, done_stripes=done,
+            input_split_mode=True,
+            # Broadcast: shipped once per executor, not per task closure —
+            # a 10^7-id set in the closure would be re-pickled per task
+            done_stripes=spark.sparkContext.broadcast(done),
             rows_per_stripe=target_rows_per_stripe,
             row_index_stride=row_index_stride,
         )
-        df.mapInArrow(fn, schema=STREAMS_SCHEMA).write.mode("append").parquet(out_dir)
+        (
+            df.mapInArrow(fn, schema=STREAMS_SCHEMA)
+            .write.mode("append")
+            .option("compression", "uncompressed")  # blobs are already zstd
+            .parquet(out_dir)
+        )
         return {"n_stripes": None, "skipped": len(done), "out_dir": out_dir}
 
     if strategy == "lang_salted":
@@ -247,10 +282,13 @@ def run_encode(
 
     skipped = 0
     if resume:
-        done = completed_stripes(spark, out_dir)
-        if done:
-            skipped = len(done)
-            staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
+        done_df = completed_stripes_df(spark, out_dir)
+        if done_df is not None:
+            skipped = done_df.count()
+            if skipped:
+                # plan-side anti-join (matching the read path's semi-join
+                # hygiene): no isin literal that scales with stripe count
+                staged = staged.join(done_df, part_mod.STRIPE_COL, "left_anti")
 
     parts = n_partitions or n_stripes
     fn = _encode_partition_factory(
@@ -261,7 +299,9 @@ def run_encode(
         staged.repartition(parts, F.col(part_mod.STRIPE_COL))
         .mapInArrow(fn, schema=STREAMS_SCHEMA)
     )
-    out.write.mode("append").parquet(out_dir)
+    # stream blobs are already block-codec compressed; parquet-snappy on
+    # top is pure CPU on incompressible data (both writing and reading)
+    out.write.mode("append").option("compression", "uncompressed").parquet(out_dir)
     return {"n_stripes": n_stripes, "skipped": skipped, "out_dir": out_dir}
 
 

@@ -68,20 +68,39 @@ def init(warm_bytes: int | None = None) -> int:
     if warm_bytes <= _initialized_bytes:
         return _initialized_bytes
 
+    import time
+
     import numpy as np
 
-    buf = np.empty(warm_bytes, dtype=np.uint8)
-    addr = buf.ctypes.data
-    start = (addr + _PAGE - 1) & ~(_PAGE - 1)
-    length = (addr + warm_bytes - start) & ~(_PAGE - 1)
-    populated = False
-    if length > 0:
-        r = libc.madvise(
-            ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_POPULATE_WRITE
-        )
-        populated = r == 0
-    if not populated:  # pre-5.14 kernel: plain first-touch
-        buf[::_PAGE] = 0
-    del buf  # back to the glibc free list (trim threshold keeps it)
+    def _populate(nbytes: int) -> float:
+        """Allocate + pre-fault nbytes; returns wall seconds spent."""
+        t0 = time.perf_counter()
+        buf = np.empty(nbytes, dtype=np.uint8)
+        addr = buf.ctypes.data
+        start = (addr + _PAGE - 1) & ~(_PAGE - 1)
+        length = (addr + nbytes - start) & ~(_PAGE - 1)
+        populated = False
+        if length > 0:
+            r = libc.madvise(
+                ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_POPULATE_WRITE
+            )
+            populated = r == 0
+        if not populated:  # pre-5.14 kernel: plain first-touch
+            buf[::_PAGE] = 0
+        del buf  # back to the glibc free list (trim threshold keeps it)
+        return time.perf_counter() - t0
+
+    # Conditional warm: fault latency on this host swings ~1000x with
+    # memory state.  Probe a small block first; if the projected cost of
+    # the full warm exceeds the budget, skip it — a slow-state warm
+    # burns (workers x seconds) of cold-start wall for a benefit that
+    # only materializes in fast states anyway.
+    probe = min(8 << 20, warm_bytes)
+    spent = _populate(probe)
+    budget_s = float(os.environ.get("SPARC_WARM_BUDGET_S", "0.25"))
+    projected = spent * (warm_bytes / probe)
+    if probe < warm_bytes and projected <= budget_s:
+        _populate(warm_bytes)
+    # mark done either way: re-probing on every call would itself be a tax
     _initialized_bytes = warm_bytes
     return _initialized_bytes

@@ -72,22 +72,22 @@ def start_ingest(
             (F.col(part_mod.STRIPE_COL) + F.lit(batch_id * STRIPE_SPACE)).cast("long"),
         )
         # at-least-once guard: a retried batch skips stripes whose FOOTER
-        # already committed under this batch's id namespace
+        # already committed under this batch's id namespace — plan-side
+        # anti-join, no driver-collected isin literal
         lo, hi = batch_id * STRIPE_SPACE, (batch_id + 1) * STRIPE_SPACE
-        done = [
-            s
-            for s in encode_job.completed_stripes(spark, out_dir)
-            if lo <= s < hi
-        ]
-        if done:
-            staged = staged.filter(~F.col(part_mod.STRIPE_COL).isin(done))
+        done_df = encode_job.completed_stripes_df(spark, out_dir)
+        if done_df is not None:
+            done_df = done_df.filter(
+                (F.col(part_mod.STRIPE_COL) >= lo) & (F.col(part_mod.STRIPE_COL) < hi)
+            )
+            staged = staged.join(done_df, part_mod.STRIPE_COL, "left_anti")
         fn = encode_job._encode_partition_factory(
             codec, None, f"stream-batch-{batch_id}", bloom_columns
         )
         out = staged.repartition(n_stripes, F.col(part_mod.STRIPE_COL)).mapInArrow(
             fn, schema=encode_job.STREAMS_SCHEMA
         )
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("append").option("compression", "uncompressed").parquet(out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(encode_batch)

@@ -59,6 +59,26 @@ def test_resume_skips_completed(spark, pages_path, tmp_path):
     assert spark.read.parquet(out).count() == n_rows_1  # nothing re-encoded
 
 
+def test_resume_plan_has_no_isin_literal(spark, pages_path, tmp_path):
+    """The resume set must reach the plan as an anti-join, never as a
+    collected ``isin`` literal (which scales with stripe count: at 10^7
+    stripes that is a multi-GB plan and a driver bottleneck)."""
+    from pyspark.sql import functions as F
+
+    from sparc.job import partition as part_mod
+
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=4)
+    done_df = encode_job.completed_stripes_df(spark, out)
+    staged = part_mod.with_hash_stripes(df, "url", 4).join(
+        done_df, part_mod.STRIPE_COL, "left_anti"
+    )
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert " IN (" not in plan and "isin" not in plan.lower()
+
+
 def test_resume_after_partial_failure(spark, pages_path, tmp_path):
     df = spark.read.parquet(pages_path)
     out = str(tmp_path / "streams")
