@@ -213,13 +213,16 @@ def main() -> None:
         return out_dir
 
     def run_input(tag: str) -> str:
-        # shuffle-free "input" strategy (stripe = input split): the 100 TB
-        # fast path; also the robust one in this host's bad memory windows
-        # (bounded per-worker footprint, no shuffle materialization)
+        # shuffle-free "input" strategy (stripe = input split) + "files"
+        # sink (direct stripe-file writes, footer-only manifest): the
+        # 100 TB fast path — no shuffle materialization, no double-
+        # handling of encoded bytes through Arrow + parquet; also the
+        # robust shape in this host's bad memory windows (bounded
+        # per-worker footprint)
         inp_dir = os.path.join(CACHE, f"streams_in_{CPUS}_{n_rows}_{tag}")
         shutil.rmtree(inp_dir, ignore_errors=True)
         encode_job.run_encode(
-            df, inp_dir, strategy="input",
+            df, inp_dir, strategy="input", sink="files",
             target_rows_per_stripe=max(n_rows // n_stripes, 1),
             fingerprint=f"bench-in-{n_rows}", resume=False,
         )
@@ -315,6 +318,13 @@ def main() -> None:
     timings["decode_pages_cold"] = round(dec_walls[0], 3)
     timings["decode_pages"] = round(dec_wall, 3)
     extras["decode_gbps"] = round(raw / dec_wall / 1e9, 4)
+    # files-sink decode: byte-range reads from stripe files via the manifest
+    t0 = time.perf_counter()
+    n_dec = decode_job.run_decode(spark, inp_dir).count()
+    files_wall = time.perf_counter() - t0
+    assert n_dec == n_rows, f"files decode row count {n_dec} != {n_rows}"
+    timings["decode_pages_files"] = round(files_wall, 3)
+    extras["decode_gbps_files"] = round(raw / files_wall / 1e9, 4)
 
     # ---- operator sample at the testdata scale factor ----------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

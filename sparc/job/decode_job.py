@@ -23,8 +23,41 @@ from .encode_job import STREAMS_SCHEMA
 
 
 def _decode_partition_factory(
-    columns: list[str] | None, verify_crc: bool, predicate: tuple | None = None
+    columns: list[str] | None,
+    verify_crc: bool,
+    predicate: tuple | None = None,
+    streams_dir: str | None = None,
 ):
+    def _streams_from_file(footer: dict) -> dict[tuple[str, str], memoryview]:
+        """Files-sink fetch: mmap the stripe file and slice the needed
+        spans — projection and predicate decide which byte ranges are
+        ever touched (the IO planner's selective stream fetch, now as
+        true byte-range reads)."""
+        import mmap
+        import os
+
+        path = footer["stripe_file"]
+        if not os.path.isabs(path):
+            path = os.path.join(streams_dir, path)
+        need_cols = set(columns) if columns else None
+        pred_cols: set[str] = set()
+        if predicate is not None:
+            from ..engine import sarg as sarg_mod
+
+            pred_cols = sarg_mod.columns_of(predicate)
+        with open(path, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        mv = memoryview(mm)
+        streams: dict[tuple[str, str], memoryview] = {}
+        for cname, kind, off, ln in footer["stream_spans"]:
+            if kind == "BLOOM_FILTER_UTF8":
+                if cname not in pred_cols:
+                    continue
+            elif need_cols is not None and cname not in need_cols:
+                continue
+            streams[(cname, kind)] = mv[off : off + ln]
+        return streams
+
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         collected = list(batches)
         if not collected:  # empty shuffle partition
@@ -57,6 +90,8 @@ def _decode_partition_factory(
                     streams[(col, kind)] = blob
             if footer is None:
                 raise ValueError(f"stripe {sid}: FOOTER row missing (incomplete)")
+            if footer.get("stripe_file"):
+                streams = _streams_from_file(footer)
             if verify_crc:
                 for (c, k), v in streams.items():
                     expect = footer.get("crc32", {}).get(f"{c}/{k}")
@@ -181,7 +216,8 @@ def run_decode(
         schema_ddl = infer_schema_ddl(spark, streams_dir, columns)
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
     fn = _decode_partition_factory(
-        columns, verify_crc, predicate=pred if rowgroup_prune else None
+        columns, verify_crc, predicate=pred if rowgroup_prune else None,
+        streams_dir=streams_dir,
     )
     out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
     if cast_to:
@@ -307,8 +343,45 @@ def prune_stripes_bloom_df(
             yield pdf.loc[miss, ["stripe_id"]]
 
     misses = blooms.mapInPandas(probe, "stripe_id long")
+
+    # files sink: bloom blobs live in the stripe files — byte-range read
+    # of just the bloom span per footer, probed executor-side
+    def probe_files(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import os
+
+        from ..engine import bloom as bloom_mod
+
+        for pdf in pdfs:
+            miss = []
+            for blob in pdf["footer"]:
+                footer = json.loads(blob)
+                rel = footer.get("stripe_file")
+                span = next(
+                    (
+                        (off, ln)
+                        for c, k, off, ln in footer.get("stream_spans", [])
+                        if c == column and k == "BLOOM_FILTER_UTF8"
+                    ),
+                    None,
+                )
+                if rel is None or span is None:
+                    miss.append(False)  # no bloom: cannot skip
+                    continue
+                path = rel if os.path.isabs(rel) else os.path.join(streams_dir, rel)
+                with open(path, "rb") as f:
+                    f.seek(span[0])
+                    blob_bytes = f.read(span[1])
+                miss.append(not bloom_mod.might_contain_any(blob_bytes, value))
+            yield pdf.loc[miss, ["stripe_id"]]
+
+    file_misses = footers_df(spark, streams_dir).mapInPandas(
+        probe_files, "stripe_id long"
+    )
     all_ids = footers_df(spark, streams_dir).select("stripe_id")
-    return all_ids.join(F.broadcast(misses), "stripe_id", "left_anti")
+    return (
+        all_ids.join(F.broadcast(misses), "stripe_id", "left_anti")
+        .join(F.broadcast(file_misses), "stripe_id", "left_anti")
+    )
 
 
 def stripe_stats_df(spark: SparkSession, streams_dir: str) -> DataFrame:

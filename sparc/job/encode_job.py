@@ -59,11 +59,24 @@ def _encode_partition_factory(
     done_stripes=frozenset(),  # frozenset[int] | Broadcast[frozenset[int]]
     rows_per_stripe: int = 0,
     row_index_stride: int | None = ROW_INDEX_STRIDE,
+    sink_dir: str | None = None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow function (no per-row Python anywhere inside).
 
     ``input_split_mode``: stripes are derived from the input partition id
     instead of a stripe column — the shuffle-free path (see run_encode).
+
+    ``sink_dir`` switches on the "files" sink: each stripe's streams are
+    written directly from the worker to ``<sink_dir>/stripes/<sid>.sparc``
+    (temp file + atomic rename) and only the FOOTER row — now carrying
+    the stripe file path and per-stream (offset, length) spans — flows
+    back through Arrow into the manifest parquet.  This removes the
+    encoded bytes from the Python→JVM transfer AND from the parquet
+    encoder (both pure double-handling: the blobs are already
+    block-codec compressed), and is the object-store PUT + manifest
+    commit shape a 100 TB run uses.  Visibility is still footer-commit:
+    a stripe file without a committed FOOTER row is invisible garbage,
+    and a retried task atomically overwrites it with identical bytes.
     """
 
     def _emit(sub: pa.Table, sid: int) -> pa.RecordBatch:
@@ -81,11 +94,15 @@ def _encode_partition_factory(
         footer["stripe_id"] = sid
         footer["input_fingerprint"] = fingerprint
         footer["sorted_by"] = sort_within or []
-        cols, kinds, blobs = [], [], []
-        for (cname, kind), data in streams.items():
-            cols.append(cname)
-            kinds.append(kind)
-            blobs.append(data)
+        if sink_dir is not None:
+            _write_stripe_file(streams, footer, sid)
+            cols, kinds, blobs = [], [], []
+        else:
+            cols, kinds, blobs = [], [], []
+            for (cname, kind), data in streams.items():
+                cols.append(cname)
+                kinds.append(kind)
+                blobs.append(data)
         cols.append("")
         kinds.append("FOOTER")
         blobs.append(json.dumps(footer).encode())
@@ -98,6 +115,26 @@ def _encode_partition_factory(
             ],
             schema=_PA_OUT,
         )
+
+    def _write_stripe_file(streams, footer, sid) -> None:
+        import os
+
+        rel = f"stripes/{sid}.sparc"
+        path = os.path.join(sink_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        # span list (not a "col/kind" keyed dict): column names may
+        # themselves contain the separator
+        spans = []
+        off = 0
+        with open(tmp, "wb") as f:
+            for (cname, kind), blob in streams.items():
+                f.write(blob)
+                spans.append([cname, kind, off, len(blob)])
+                off += len(blob)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        footer["stripe_file"] = rel
+        footer["stream_spans"] = spans
 
     def encode_input_partition(
         batches: Iterator[pa.RecordBatch],
@@ -231,6 +268,7 @@ def run_encode(
     bloom_columns: list[str] | None = None,
     fsst: bool | None = None,
     row_index_stride: int | None = ROW_INDEX_STRIDE,
+    sink: str = "parquet",
 ) -> dict:
     """Run (or resume) the encode job.  Returns a summary dict.
 
@@ -242,7 +280,19 @@ def run_encode(
       deterministic and resumable for a fixed input snapshot + reader
       conf.  The fast path when stripe/content affinity is not required:
       at cluster scale it removes the full-table shuffle entirely.
+
+    Sinks:
+    - ``parquet``: stream blobs ride inside the manifest parquet rows
+      (self-contained single table; best for small outputs).
+    - ``files``: workers write each stripe to its own raw file and only
+      footers enter the manifest — no double-handling of encoded bytes
+      (see _encode_partition_factory).  ``out_dir`` must be a filesystem
+      all executors can reach (local dir here; an object-store mount /
+      fsspec path at cluster scale).
     """
+    if sink not in ("parquet", "files"):
+        raise ValueError(f"unknown sink {sink!r}")
+    sink_dir = out_dir if sink == "files" else None
     spark = df.sparkSession
 
     if strategy == "input":
@@ -259,6 +309,7 @@ def run_encode(
             done_stripes=spark.sparkContext.broadcast(done),
             rows_per_stripe=target_rows_per_stripe,
             row_index_stride=row_index_stride,
+            sink_dir=sink_dir,
         )
         (
             df.mapInArrow(fn, schema=STREAMS_SCHEMA)
@@ -293,7 +344,7 @@ def run_encode(
     parts = n_partitions or n_stripes
     fn = _encode_partition_factory(
         codec, sort_within, fingerprint, bloom_columns, fsst,
-        row_index_stride=row_index_stride,
+        row_index_stride=row_index_stride, sink_dir=sink_dir,
     )
     out = (
         staged.repartition(parts, F.col(part_mod.STRIPE_COL))

@@ -148,3 +148,89 @@ def test_input_split_strategy(spark, pages_path, tmp_path):
     )
     assert r2["skipped"] == len(done)
     assert set(encode_job.completed_stripes(spark, out)) == done
+
+
+# ---------------------------------------------------------------------------
+# files sink (stripe files + footer manifest)
+# ---------------------------------------------------------------------------
+
+
+def test_files_sink_roundtrip(spark, pages_path, tmp_path):
+    """files sink: workers write stripe files directly; only footers flow
+    through Arrow into the manifest — decode must read spans back
+    bit-identically, with crc verification."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=4, sink="files",
+        bloom_columns=["url"],
+    )
+    assert res["n_stripes"] == 4
+    # the manifest holds ONLY footer rows; blobs live in stripe files
+    manifest = spark.read.schema(encode_job.STREAMS_SCHEMA).parquet(out)
+    kinds = {r[0] for r in manifest.select("kind").distinct().collect()}
+    assert kinds == {"FOOTER"}
+    files = glob.glob(os.path.join(out, "stripes", "*.sparc"))
+    assert len(files) == 4
+    assert not glob.glob(os.path.join(out, "stripes", "*.tmp-*"))
+    _compare_roundtrip(spark, df, out, verify_crc=True)
+
+
+def test_files_sink_input_strategy_and_resume(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500,
+        fingerprint="pages@42", sink="files",
+    )
+    n_files_1 = len(glob.glob(os.path.join(out, "stripes", "*.sparc")))
+    assert n_files_1 >= 4
+    # resume: nothing re-encoded, no new files
+    res2 = encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500,
+        fingerprint="pages@42", sink="files",
+    )
+    assert res2["skipped"] == n_files_1
+    assert len(glob.glob(os.path.join(out, "stripes", "*.sparc"))) == n_files_1
+    _compare_roundtrip(spark, df, out)
+
+
+def test_files_sink_projection_and_prune(spark, pages_path, tmp_path):
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=4, sink="files",
+        bloom_columns=["url"],
+    )
+    dec = decode_job.run_decode(spark, out, columns=["url", "lang"])
+    assert dec.columns == ["url", "lang"]
+    assert dec.count() == N_ROWS
+    # stripe pruning via footer stats + row filter end-to-end
+    some_url = df.select("url").limit(1).collect()[0][0]
+    got = decode_job.run_decode(
+        spark, out, stripe_filter=("=", "url", some_url), row_filter=True,
+    )
+    assert got.filter(got.url == some_url).count() == 1
+    # bloom stripe pruning reads byte ranges from the stripe files
+    kept = decode_job.prune_stripes_bloom(spark, out, "url", some_url)
+    all_ids = decode_job.prune_stripes_bloom(spark, out, "url", "definitely-absent-url")
+    assert len(all_ids) < len(kept) or len(kept) < 4  # something pruned
+    assert len(kept) >= 1
+
+
+def test_files_sink_compact_zero_copy(spark, pages_path, tmp_path):
+    """Compacting files-sink manifests moves no stream bytes: footers are
+    re-pointed at the original stripe files (appendStripe semantics)."""
+    from sparc.job import compact_job
+
+    df = spark.read.parquet(pages_path)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    encode_job.run_encode(df.limit(3000), a, strategy="hash", n_stripes=2, sink="files")
+    encode_job.run_encode(df.limit(3000), b, strategy="hash", n_stripes=2, sink="files")
+    out = str(tmp_path / "merged")
+    res = compact_job.compact(spark, [a, b], out)
+    assert res["n_stripes"] == 4
+    dec = decode_job.run_decode(spark, out)
+    assert dec.count() == 6000  # 3000 rows from each source
+    # no stripe files copied into the merged dir
+    assert not glob.glob(os.path.join(out, "stripes", "*"))
