@@ -643,8 +643,10 @@ def _rowgroup_prune_sql(sf: str = "") -> str:
 
 
 def _roundtrip_decimal(spark, sf_dir):
-    """Decimal64 columns (unscaled int64 + RLEv2) through the real stripe
-    engine; mismatches must be zero."""
+    """Decimal columns through the real stripe engine — decimal64
+    (unscaled int64 + RLEv2) AND the unbounded > 18-digit path
+    (zigzag-varint 128-bit mantissa + RLE scale, sparc.kernels.bigdec);
+    mismatches must be zero."""
     import pyarrow as pa
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -655,6 +657,15 @@ def _roundtrip_decimal(spark, sf_dir):
         .otherwise(F.col("l_discount"))
         .cast("decimal(6,4)")
         .alias("disc"),
+        # unbounded path: force > 2^64 unscaled magnitudes so the high
+        # word is genuinely exercised, nulls included
+        (F.col("l_extendedprice").cast("decimal(20,2)") * F.lit(10**16).cast("decimal(17,0)"))
+        .cast("decimal(38,10)")
+        .alias("big"),
+        F.when(F.col("l_linenumber") % 5 == 0, None)
+        .otherwise(-F.col("l_extendedprice"))
+        .cast("decimal(25,12)")
+        .alias("bigneg"),
     )
 
     def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

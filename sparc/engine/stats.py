@@ -91,6 +91,20 @@ def int_stats(values: np.ndarray, n_nulls: int, kind: str = "int") -> ColumnStat
     return s
 
 
+def decimal128_stats(lo: np.ndarray, hi: np.ndarray, n_nulls: int) -> ColumnStats:
+    """Stats over 128-bit unscaled decimals given as (low u64, high i64)
+    word pairs; min/max/sum become exact Python ints (DecimalStatisticsImpl
+    keeps exact HiveDecimal bounds the same way)."""
+    s = ColumnStats(kind="decimal", n_values=int(lo.size), n_nulls=int(n_nulls))
+    if lo.size:
+        order = np.lexsort((lo, hi))  # signed high word primary
+        i, j = int(order[0]), int(order[-1])
+        s.minimum = (int(hi[i]) << 64) + int(lo[i])
+        s.maximum = (int(hi[j]) << 64) + int(lo[j])
+        s.total = (int(hi.astype(object).sum()) << 64) + int(lo.astype(object).sum())
+    return s
+
+
 def float_stats(values: np.ndarray, n_nulls: int) -> ColumnStats:
     s = ColumnStats(kind="float", n_values=int(values.size), n_nulls=int(n_nulls))
     if values.size:

@@ -231,15 +231,34 @@ def encode_column(
             enc.set_rg_stats(g, stats_mod.int_stats(v, enc.rg_nulls[g]))
         meta["encoding"] = "rlev2"
         meta["stats"] = stats_mod.int_stats(vals, arr.null_count).to_dict()
+    elif pa.types.is_decimal(t) and t.precision > 18:
+        # unbounded-decimal path (DecimalTreeWriter semantics via
+        # SerializationUtils.writeBigInteger, SerializationUtils.java:
+        # 195-217): zigzag-varint 128-bit mantissa DATA stream + RLE
+        # scale SECONDARY stream, vectorized over uint64 word pairs
+        from ..kernels import bigdec
+
+        lo, hi = _decimal_unscaled_words(arr)
+        scale = np.int64(t.scale)
+        enc.seg_streams["DATA"] = []
+        enc.seg_streams["SECONDARY"] = []
+        for g in range(len(enc.bounds)):
+            sl = enc.val_slice(g)
+            glo, ghi = lo[sl], hi[sl]
+            enc.seg_streams["DATA"].append(bigdec.encode(glo, ghi))
+            enc.seg_streams["SECONDARY"].append(
+                rlev2.encode(np.full(glo.size, scale), signed=False)
+            )
+            enc.set_rg_stats(g, stats_mod.decimal128_stats(glo, ghi, enc.rg_nulls[g]))
+        meta["encoding"] = "decimal_big"
+        meta["precision"] = t.precision
+        meta["scale"] = t.scale
+        meta["stats"] = stats_mod.decimal128_stats(lo, hi, arr.null_count).to_dict()
     elif pa.types.is_decimal(t):
         # decimal64 path (Decimal64TreeWriter.writeBatch semantics,
         # Decimal64TreeWriter.java:59-112): unscaled value as signed RLEv2,
         # precision/scale in the footer.  precision <= 18 only (the
         # unscaled value must fit int64).
-        if t.precision > 18:
-            raise NotImplementedError(
-                f"decimal precision {t.precision} > 18 unsupported (column {name})"
-            )
         vals = _decimal_unscaled_int64(arr)
         enc.seg_streams["DATA"] = []
         for g in range(len(enc.bounds)):
@@ -530,6 +549,40 @@ def _decimal_unscaled_int64(arr: pa.Array) -> np.ndarray:
     return words.reshape(-1, 2)[nn.offset :, 0].copy()
 
 
+def _decimal_unscaled_words(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null unscaled values of a decimal128 array as (low u64,
+    high i64) word pairs — zero-copy read of the 16-byte LE storage."""
+    nn = arr.drop_null() if arr.null_count else arr
+    nn = nn.combine_chunks() if isinstance(nn, pa.ChunkedArray) else nn
+    buf = nn.buffers()[1]
+    words = np.frombuffer(buf, dtype=np.uint64, count=2 * (nn.offset + len(nn)))
+    words = words.reshape(-1, 2)[nn.offset :]
+    return words[:, 0].copy(), words[:, 1].copy().view(np.int64)
+
+
+def _build_decimal_big(
+    lo: np.ndarray, hi: np.ndarray, valid: np.ndarray | None, n_rows: int,
+    t: pa.DataType,
+) -> pa.Array:
+    full_lo, full_hi = lo, hi
+    validity_buf = None
+    null_count = 0
+    if valid is not None:
+        full_lo = np.zeros(n_rows, dtype=np.uint64)
+        full_lo[valid] = lo
+        full_hi = np.zeros(n_rows, dtype=np.int64)
+        full_hi[valid] = hi
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        null_count = int((~valid).sum())
+    words = np.empty((n_rows, 2), dtype=np.uint64)
+    words[:, 0] = full_lo
+    words[:, 1] = full_hi.view(np.uint64)
+    return pa.Array.from_buffers(
+        t, n_rows, [validity_buf, pa.py_buffer(words.tobytes())],
+        null_count=null_count,
+    )
+
+
 def _build_decimal(
     vals: np.ndarray, valid: np.ndarray | None, n_rows: int, t: pa.DataType
 ) -> pa.Array:
@@ -774,6 +827,11 @@ def decode_column(
         elif enc == "decimal64":
             vals = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
             pieces.append(_build_decimal(vals, valid, n_rows, t))
+        elif enc == "decimal_big":
+            from ..kernels import bigdec
+
+            lo, hi = bigdec.decode(seg_raw("DATA", g), n_vals)
+            pieces.append(_build_decimal_big(lo, hi, valid, n_rows, t))
         elif enc == "timestamp_split":
             seconds = rlev2.decode(seg_raw("DATA", g), n_vals, signed=True)
             nanos = parse_nanos(rlev2.decode(seg_raw("SECONDARY", g), n_vals, signed=False))
@@ -857,6 +915,11 @@ def _decode_whole(streams: dict[str, bytes], meta: dict) -> pa.Array:
     if enc == "decimal64":
         vals = rlev2.decode(raw["DATA"], n_vals, signed=True)
         return _build_decimal(vals, valid, n_rows, t)
+    if enc == "decimal_big":
+        from ..kernels import bigdec
+
+        lo, hi = bigdec.decode(raw["DATA"], n_vals)
+        return _build_decimal_big(lo, hi, valid, n_rows, t)
     if enc == "timestamp_split":
         seconds = rlev2.decode(raw["DATA"], n_vals, signed=True)
         nanos = parse_nanos(rlev2.decode(raw["SECONDARY"], n_vals, signed=False))

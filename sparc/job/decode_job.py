@@ -446,6 +446,8 @@ def _ddl_type(col_meta: dict) -> str:
     t = col_meta["arrow_type"]
     if t.startswith("timestamp"):
         return "timestamp"
+    if t.startswith("decimal"):
+        return f"decimal({col_meta['precision']},{col_meta['scale']})"
     if t in _ARROW_TO_DDL:
         return _ARROW_TO_DDL[t]
     if t.startswith(("list<", "large_list<")):
