@@ -11,12 +11,16 @@ the strongest available oracle that the kernel wire formats match the
 ORC spec bit-for-bit — far stronger than self round-trips.
 
 Scope (deliberately minimal — an oracle, not the product sink):
-- compression NONE or ZLIB (the reference's 3-byte-header chunk
-  framing, raw DEFLATE, store-original-if-bigger); rowIndexStride 0
+- compression NONE / ZLIB / SNAPPY / ZSTD (the reference's
+  3-byte-header chunk framing, store-original-if-bigger)
 - file versions 0.12 (RLEv2) and legacy 0.11 (RLEv1)
 - flat struct schema of: int32/int64, double/float, string (dict or
   direct), binary, bool, date32, timestamp[us] (writerTimezone UTC)
 - nullable columns via PRESENT streams
+- optional ROW_INDEX streams (``row_index_stride > 0``): per-group seek
+  positions + IntegerStatistics; the reference Java reader demonstrably
+  row-group-SKIPS inside our files (tests prove wrong positions break
+  the filtered read, so the pass is meaningful)
 
 The protobuf tail is hand-encoded (varint/length-delimited primitives
 only — field numbers from the public orc_proto.proto)."""
@@ -47,13 +51,22 @@ def _deflate(data: bytes) -> bytes:
     return c.compress(data) + c.flush()
 
 
+def _compress_one(chunk: bytes, kind: str) -> bytes:
+    if kind == "ZLIB":
+        return _deflate(chunk)
+    # pyarrow one-shot codecs match the reference's raw in-chunk formats:
+    # snappy embeds the uncompressed length as a leading varint, zstd's
+    # single-shot frame header records the content size
+    return bytes(pa.Codec(kind.lower()).compress(chunk))
+
+
 def _orc_compress(data: bytes, kind: str) -> bytes:
     if kind == "NONE":
         return data
     out = bytearray()
     for pos in range(0, len(data), _ORC_CHUNK):
         chunk = bytes(data[pos : pos + _ORC_CHUNK])
-        comp = _deflate(chunk)
+        comp = _compress_one(chunk, kind)
         if len(comp) < len(chunk):
             head = len(comp) << 1
             body = comp
@@ -100,9 +113,9 @@ _KIND = {
     "timestamp": 9, "struct": 12, "date32[day]": 15,
 }
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH, _STREAM_DICT = 0, 1, 2, 3
-_STREAM_SECONDARY = 5
+_STREAM_SECONDARY, _STREAM_ROW_INDEX = 5, 6
 _ENC_DIRECT, _ENC_DICT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 1, 2, 3
-_COMPRESSION_NONE = 0
+_COMPRESSION = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "LZ4": 4, "ZSTD": 5}
 
 DICT_THRESHOLD = 0.8  # orc.dictionary.key.threshold
 
@@ -196,19 +209,193 @@ def _min_stats(n_values: int, has_null: bool) -> bytes:
     return out
 
 
+# --- row index (rowIndexStride > 0) ----------------------------------------
+#
+# Every stream restarts its coder AND its compression chunk at each
+# row-group boundary, so recorded positions are exact chunk starts with
+# zero in-chunk / in-run offsets — the simplest layout the reference
+# reader's PositionProvider accepts (``TreeWriterBase.
+# createRowIndexEntry``/``recordPosition`` TreeWriterBase.java:323-330;
+# seek consumption order per coder in RunLengthIntegerReaderV2.seek /
+# BitFieldReader.seek).  Position value counts per stream:
+#   raw byte stream: [offset]            (+1 leading chunk offset if compressed)
+#   RLE int stream:  [offset, usedInRun]
+#   bitfield stream: [offset, usedInByteRLE, bitsConsumed]
+
+_EXTRAS_RAW, _EXTRAS_RLE, _EXTRAS_BITS = 0, 1, 2
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _rg_int_stats(vals: np.ndarray, n_rows: int, has_null: bool) -> bytes:
+    """ColumnStatistics proto with IntegerStatistics (sint64 min/max/sum)
+    — what lets the reference's SearchArgument prune row groups."""
+    out = _f_varint(1, int(vals.size))
+    if vals.size:
+        body = _f_varint(1, _zz(int(vals.min()))) + _f_varint(2, _zz(int(vals.max())))
+        out += _f_bytes(2, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _encode_column_grouped(
+    arr: pa.Array, bounds: list[tuple[int, int]], v11: bool
+) -> tuple[list[tuple[int, list[bytes], int]], bytes, list[bytes]]:
+    """Per-row-group encoding for indexed files.
+
+    -> (streams, encoding_pb, per-group ColumnStatistics blobs) where
+    streams = [(stream_kind, [blob per group], extras)] in position-
+    recording order.  Strings always use DIRECT here (the reference
+    rewrites dictionary row-index positions on flush; restart-per-group
+    direct streams sidestep that statefulness while staying legal ORC)."""
+    rle = (lambda v, s: rlev1.encode(v, signed=s)) if v11 else (
+        lambda v, s: rlev2.encode(v, signed=s)
+    )
+    t = arr.type
+    streams: list[tuple[int, list[bytes], int]] = []
+    valid = arr.is_valid().to_numpy(zero_copy_only=False) if arr.null_count else None
+    if valid is not None:
+        streams.append(
+            (
+                _STREAM_PRESENT,
+                [bitfield.encode(valid[lo:hi]) for lo, hi in bounds],
+                _EXTRAS_BITS,
+            )
+        )
+    # value offsets of each group into the non-null space
+    if valid is None:
+        voffs = [lo for lo, _ in bounds] + [len(arr)]
+    else:
+        cum = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        voffs = [int(cum[lo]) for lo, _ in bounds] + [int(cum[-1])]
+    nn = arr.drop_null() if arr.null_count else arr
+
+    def vs(g: int) -> slice:
+        return slice(voffs[g], voffs[g + 1])
+
+    enc = _f_varint(1, _ENC_DIRECT if v11 else _ENC_DIRECT_V2)
+    stats: list[bytes] = []
+    n_groups = len(bounds)
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        vals = stripe_mod._arrow_nonnull_int64(arr)
+        streams.append(
+            (_STREAM_DATA, [rle(vals[vs(g)], True) for g in range(n_groups)], _EXTRAS_RLE)
+        )
+        stats = [
+            _rg_int_stats(
+                vals[vs(g)], hi - lo, valid is not None and not valid[lo:hi].all()
+            )
+            for g, (lo, hi) in enumerate(bounds)
+        ]
+    elif pa.types.is_timestamp(t):
+        if v11:
+            raise NotImplementedError("orcfile v0.11: timestamp unsupported")
+        unit_scale = stripe_mod._TS_UNITS[t.unit]
+        vals = stripe_mod._arrow_nonnull_int64(arr)
+        seconds = np.floor_divide(vals, unit_scale) - stripe_mod.TS_BASE_SECONDS
+        nanos = stripe_mod.format_nanos(
+            np.mod(vals, unit_scale) * (1_000_000_000 // unit_scale)
+        )
+        streams.append(
+            (_STREAM_DATA, [rle(seconds[vs(g)], True) for g in range(n_groups)], _EXTRAS_RLE)
+        )
+        streams.append(
+            (
+                _STREAM_SECONDARY,
+                [rle(nanos[vs(g)], False) for g in range(n_groups)],
+                _EXTRAS_RLE,
+            )
+        )
+    elif pa.types.is_floating(t):
+        np_t = np.float32 if pa.types.is_float32(t) else np.float64
+        vals = nn.to_numpy(zero_copy_only=False).astype(np.dtype(np_t).newbyteorder("<"))
+        streams.append(
+            (_STREAM_DATA, [vals[vs(g)].tobytes() for g in range(n_groups)], _EXTRAS_RAW)
+        )
+        enc = _f_varint(1, _ENC_DIRECT)
+    elif pa.types.is_boolean(t):
+        vals = nn.to_numpy(zero_copy_only=False)
+        streams.append(
+            (
+                _STREAM_DATA,
+                [bitfield.encode(vals[vs(g)]) for g in range(n_groups)],
+                _EXTRAS_BITS,
+            )
+        )
+        enc = _f_varint(1, _ENC_DIRECT)
+    elif stripe_mod._is_binary_like(t):
+        bin_arr = nn.cast(pa.large_binary())
+        lengths = (
+            pa.compute.binary_length(bin_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        blob = stripe_mod._concat_binary(bin_arr)
+        boffs = np.concatenate(([0], np.cumsum(lengths)))
+        streams.append(
+            (
+                _STREAM_DATA,
+                [
+                    bytes(blob[boffs[voffs[g]] : boffs[voffs[g + 1]]])
+                    for g in range(n_groups)
+                ],
+                _EXTRAS_RAW,
+            )
+        )
+        streams.append(
+            (
+                _STREAM_LENGTH,
+                [rle(lengths[vs(g)], False) for g in range(n_groups)],
+                _EXTRAS_RLE,
+            )
+        )
+    else:
+        raise NotImplementedError(f"orcfile row-index: unsupported type {t}")
+    if not stats:
+        stats = [
+            _min_stats(
+                voffs[g + 1] - voffs[g],
+                valid is not None and not valid[lo:hi].all(),
+            )
+            for g, (lo, hi) in enumerate(bounds)
+        ]
+    return streams, enc, stats
+
+
+def _row_index_pb(entries: list[tuple[list[int], bytes]]) -> bytes:
+    """RowIndex proto: entries of (packed positions, ColumnStatistics)."""
+    out = bytearray()
+    for positions, st in entries:
+        body = b""
+        if positions:
+            body += _f_bytes(1, b"".join(_varint(p) for p in positions))
+        body += _f_bytes(2, st)
+        out += _f_bytes(1, bytes(body))
+    return bytes(out)
+
+
 def write_orc(
     table: pa.Table, path: str, rows_per_stripe: int = 100_000,
     version: str = "0.12", compression: str = "NONE",
+    row_index_stride: int = 0,
 ) -> None:
     """Write ``table`` (flat schema) as an ORC file at ``path``.
 
     ``version="0.11"`` emits the legacy RLEv1 layout (cross-read oracle
-    for the rlev1 kernel).  ``compression="ZLIB"`` wraps every stream and
-    protobuf section in the reference's 3-byte-header chunked framing
-    (cross-read oracle for the compressed-stream contract)."""
+    for the rlev1 kernel).  ``compression`` in ZLIB/SNAPPY/ZSTD wraps
+    every stream and protobuf section in the reference's 3-byte-header
+    chunked framing (cross-read oracle for the compressed-stream
+    contract).  ``row_index_stride > 0`` (multiple of 8) emits real
+    ROW_INDEX streams with per-group seek positions + IntegerStatistics,
+    so the reference reader can *skip row groups* inside our file —
+    verified by reading back with a pushed-down filter."""
     v11 = version == "0.11"
-    if compression not in ("NONE", "ZLIB"):
+    if compression not in ("NONE", "ZLIB", "SNAPPY", "ZSTD"):
         raise NotImplementedError(f"orcfile: compression {compression}")
+    if row_index_stride and row_index_stride % 8:
+        raise ValueError("row_index_stride must be a multiple of 8")
     n_cols = table.num_columns
     out = bytearray(b"ORC")
     header_len = 3
@@ -223,16 +410,59 @@ def write_orc(
         stream_meta: list[tuple[int, int, int]] = []  # (kind, column_id, length)
         encodings = [_f_varint(1, _ENC_DIRECT)]  # root struct
         data = bytearray()
-        for i in range(n_cols):
-            col = chunk.column(i)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            streams, enc = _encode_column(col, v11)
-            encodings.append(enc)
-            for kind, blob in streams:
-                wrapped = _orc_compress(blob, compression)
-                stream_meta.append((kind, i + 1, len(wrapped)))
-                data += wrapped
+        index = bytearray()
+        if row_index_stride:
+            bounds = stripe_mod._row_bounds(chunk.num_rows, row_index_stride)
+            # root struct (column 0) index: position-less entries with counts
+            root_ri = _row_index_pb(
+                [([], _min_stats(hi - g_lo, False)) for g_lo, hi in bounds]
+            )
+            wrapped = _orc_compress(root_ri, compression)
+            stream_meta.append((_STREAM_ROW_INDEX, 0, len(wrapped)))
+            index += wrapped
+            col_payloads = []
+            for i in range(n_cols):
+                col = chunk.column(i)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                streams, enc, stats = _encode_column_grouped(col, bounds, v11)
+                encodings.append(enc)
+                # build each stream: per-group pieces, compressed (each
+                # group restarts a chunk) — positions are piece offsets
+                built = []  # (kind, bytes, [per-group offsets], extras)
+                for kind, blobs, extras in streams:
+                    pieces = [_orc_compress(b, compression) for b in blobs]
+                    offs = np.concatenate(([0], np.cumsum([len(p) for p in pieces])))
+                    built.append((kind, b"".join(pieces), offs[:-1], extras))
+                entries = []
+                for g in range(len(bounds)):
+                    positions: list[int] = []
+                    for kind, _, offs, extras in built:
+                        positions.append(int(offs[g]))
+                        if compression != "NONE":
+                            positions.append(0)  # offset inside the chunk
+                        positions.extend([0] * extras)  # coder state
+                    entries.append((positions, stats[g]))
+                ri = _orc_compress(_row_index_pb(entries), compression)
+                stream_meta.append((_STREAM_ROW_INDEX, i + 1, len(ri)))
+                index += ri
+                col_payloads.append(built)
+            for i, built in enumerate(col_payloads):
+                for kind, payload, _, _ in built:
+                    stream_meta.append((kind, i + 1, len(payload)))
+                    data += payload
+        else:
+            for i in range(n_cols):
+                col = chunk.column(i)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                streams, enc = _encode_column(col, v11)
+                encodings.append(enc)
+                for kind, blob in streams:
+                    wrapped = _orc_compress(blob, compression)
+                    stream_meta.append((kind, i + 1, len(wrapped)))
+                    data += wrapped
+        out += index
         out += data
         # StripeFooter: streams=1, columns(encodings)=2, writerTimezone=3
         sf = bytearray()
@@ -245,7 +475,7 @@ def write_orc(
         sf_wrapped = _orc_compress(bytes(sf), compression)
         out += sf_wrapped
         stripe_infos.append(
-            (stripe_offset, 0, len(data), len(sf_wrapped), chunk.num_rows)
+            (stripe_offset, len(index), len(data), len(sf_wrapped), chunk.num_rows)
         )
 
     content_length = len(out)
@@ -278,14 +508,14 @@ def write_orc(
         footer += _f_bytes(
             7, _min_stats(total_rows - col.null_count, col.null_count > 0)
         )
-    footer += _f_varint(8, 0)  # rowIndexStride = 0 (no row index)
+    footer += _f_varint(8, row_index_stride)
     footer_wrapped = _orc_compress(bytes(footer), compression)
     out += footer_wrapped
 
     # PostScript
     ps = bytearray()
     ps += _f_varint(1, len(footer_wrapped))
-    ps += _f_varint(2, 1 if compression == "ZLIB" else _COMPRESSION_NONE)
+    ps += _f_varint(2, _COMPRESSION[compression])
     if compression != "NONE":
         ps += _f_varint(3, _ORC_CHUNK)  # compressionBlockSize
     ps += _f_packed(4, [0, 11] if v11 else [0, 12])  # file version

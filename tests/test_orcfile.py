@@ -217,3 +217,101 @@ def test_spark_java_reader_cross_read(spark, tmp_path):
         )
 
     assert rows(gp) == rows(ep)
+
+
+@pytest.mark.parametrize("comp", ["SNAPPY", "ZSTD"])
+def test_snappy_zstd_compressed_cross_read(tmp_path, comp):
+    """SNAPPY/ZSTD 3-byte-header chunk framing in OUR writer, read back
+    by pyarrow's C++ reader AND our own orcread kernels."""
+    rng = np.random.default_rng(23)
+    n = 20_000
+    t = pa.table(
+        {
+            "i": pa.array(rng.integers(-(10**9), 10**9, n), pa.int64()),
+            "s": pa.array([f"val-{i % 91}" for i in range(n)]),
+            "f": pa.array(rng.standard_normal(n)),
+            "nul": pa.array(
+                [None if i % 11 == 0 else i for i in range(n)], pa.int64()
+            ),
+        }
+    )
+    path = tmp_path / f"c_{comp}.orc"
+    orcfile.write_orc(t, str(path), rows_per_stripe=7000, compression=comp)
+    got = pa.orc.ORCFile(str(path)).read()
+    for name in t.schema.names:
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+    from sparc.engine import orcread
+
+    ours = orcread.read_orc(str(path))
+    assert ours["i"].combine_chunks().equals(t["i"].combine_chunks())
+
+
+@pytest.mark.parametrize("comp", ["NONE", "ZLIB", "ZSTD"])
+def test_row_index_pyarrow_reads(tmp_path, comp):
+    """Indexed files (rowIndexStride > 0) stay fully readable."""
+    n = 25_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"row-{i}" for i in range(n)]),
+            "f": pa.array(np.arange(n) * 0.5),
+            "b": pa.array([i % 3 == 0 for i in range(n)]),
+            "nul": pa.array([None if i % 7 == 0 else i for i in range(n)], pa.int64()),
+        }
+    )
+    path = tmp_path / f"idx_{comp}.orc"
+    orcfile.write_orc(
+        t, str(path), rows_per_stripe=10_000, row_index_stride=1000,
+        compression=comp,
+    )
+    got = pa.orc.ORCFile(str(path)).read()
+    for name in t.schema.names:
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+
+
+def test_row_index_java_reader_skips(spark, tmp_path):
+    """The reference Java reader must be able to SKIP row groups using
+    OUR ROW_INDEX streams: a pushed-down point filter over a sorted
+    column seeks via our recorded positions — wrong positions would
+    surface as garbage values or a reader exception, so exact results
+    here verify the seek contract, not just the happy full-scan path."""
+    n = 60_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array([f"payload-{i}" for i in range(n)]),
+            "f": pa.array(np.arange(n) * 0.25),
+            "nul": pa.array([None if i % 5 == 0 else i * 2 for i in range(n)], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "skip.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=30_000, row_index_stride=1000,
+        compression="ZLIB",
+    )
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    try:
+        df = spark.read.orc(path)
+        # point lookups landing mid-stripe: the reader must seek into
+        # row group 41 of stripe 1 via our positions
+        rows = df.filter("k >= 41000 and k < 41010").orderBy("k").collect()
+        assert [r["k"] for r in rows] == list(range(41000, 41010))
+        assert [r["payload"] for r in rows] == [
+            f"payload-{i}" for i in range(41000, 41010)
+        ]
+        assert [r["f"] for r in rows] == [i * 0.25 for i in range(41000, 41010)]
+        assert [r["nul"] for r in rows] == [
+            None if i % 5 == 0 else i * 2 for i in range(41000, 41010)
+        ]
+        # and a full scan still matches
+        assert df.count() == n
+    finally:
+        spark.conf.unset("spark.sql.orc.filterPushdown")
