@@ -448,6 +448,35 @@ def _lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def _lsh_recall(spark, sf_dir):
+    """Measured recall@5 of the banded hyperplane LSH against the exact
+    cosine top-k on the same query set — the checkable quantity for an
+    approximate operator.  16 bands x 4 planes gives recall 0.90 on this
+    corpus (deterministic: plane literals are seeded); the oracle is the
+    constant-form contract "recall >= 0.8"."""
+    from sparc.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "corpus_id")
+    ann = similarity.lsh_topk(
+        emb, q, k=5, n_bands=16, planes_per_band=4
+    ).select("query_id", "corpus_id")
+    hits = exact.join(ann, ["query_id", "corpus_id"]).count()
+    total = exact.count()
+    recall = hits / max(total, 1)
+    return spark.createDataFrame(
+        [(5, total // 5, bool(recall >= 0.8))],
+        "k long, n_queries long, recall_ge_080 boolean",
+    )
+
+
+_LSH_RECALL_SQL = (
+    "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, "
+    "CAST(TRUE AS BOOLEAN) AS recall_ge_080"
+)
+
+
 def _ivf_topk(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer + inverted-list probe).  Run
     with nprobe == nlist, where IVF is provably exact — so the same
@@ -844,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "simsearch_topk": _simsearch_topk,
         "lsh_topk": _lsh_topk,
+        "lsh_recall": _lsh_recall,
         "ivf_topk": _ivf_topk,
         "embedding_dups": _embedding_dups,
         "multimodal_features": _multimodal_features,
@@ -878,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simsearch_topk": _SIMSEARCH_SQL,
+        "lsh_recall": _LSH_RECALL_SQL,
         "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,

@@ -35,27 +35,18 @@ from ..job import encode_job
 STRIPE_SPACE = 1 << 20  # max stripes per micro-batch
 
 
-def start_ingest(
+def make_encode_batch(
     spark: SparkSession,
-    input_dir: str,
     out_dir: str,
-    checkpoint_dir: str,
     *,
-    schema_ddl: str = (
-        "url string, warc_ts timestamp, html binary, text string, lang string"
-    ),
     key: str = "url",
     target_rows_per_stripe: int = 100_000,
     codec: str = "zstd",
     bloom_columns: list[str] | None = None,
-    max_files_per_trigger: int | None = None,
-    trigger_once: bool = False,
 ):
-    """Start the streaming encode; returns the StreamingQuery."""
-    reader = spark.readStream.schema(schema_ddl)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
+    """The foreachBatch function, exposed so tests can drive the exact
+    closure the stream runs (e.g. replaying a batch id to exercise the
+    at-least-once guard)."""
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.count()
@@ -89,6 +80,34 @@ def start_ingest(
         )
         out.write.mode("append").option("compression", "uncompressed").parquet(out_dir)
 
+    return encode_batch
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema_ddl: str = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ),
+    key: str = "url",
+    target_rows_per_stripe: int = 100_000,
+    codec: str = "zstd",
+    bloom_columns: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """Start the streaming encode; returns the StreamingQuery."""
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    encode_batch = make_encode_batch(
+        spark, out_dir, key=key, target_rows_per_stripe=target_rows_per_stripe,
+        codec=codec, bloom_columns=bloom_columns,
+    )
     writer = (
         stream.writeStream.foreachBatch(encode_batch)
         .option("checkpointLocation", checkpoint_dir)

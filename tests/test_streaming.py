@@ -99,3 +99,31 @@ def test_windowed_stats_with_watermark(spark, tmp_path):
     # be withheld by the watermark)
     unmatched = got.count() - matched.count()
     assert unmatched <= got.count() // 2 and matched.count() > 0
+
+
+def test_retried_batch_no_duplicates(spark, tmp_path):
+    """At-least-once guard end-to-end: foreachBatch may re-deliver a
+    batch after the sink committed but before the checkpoint did.  A
+    replayed encode_batch (the REAL closure from make_encode_batch) with
+    the same batch id must append nothing — no duplicate stripes, no
+    re-encode of committed ones — and the streams table must stay
+    decodable with the original row count."""
+    from sparc.job import encode_job
+
+    src = str(tmp_path / "batch.parquet")
+    pages.write_parquet(src, 3000, seed=45)
+    out = str(tmp_path / "streams")
+    encode_batch = ingest.make_encode_batch(
+        spark, out, target_rows_per_stripe=1000
+    )
+    batch_df = spark.read.parquet(src)
+    encode_batch(batch_df, 7)
+    rows_after_first = spark.read.parquet(out).count()
+    stripes_first = sorted(encode_job.completed_stripes(spark, out))
+    assert stripes_first and all(s >= 7 * ingest.STRIPE_SPACE for s in stripes_first)
+    # retry: same batch id, same data (checkpoint lost before commit)
+    encode_batch(batch_df, 7)
+    assert spark.read.parquet(out).count() == rows_after_first  # nothing appended
+    assert sorted(encode_job.completed_stripes(spark, out)) == stripes_first
+    dec = decode_job.run_decode(spark, out)
+    assert dec.count() == 3000  # no duplicate rows
