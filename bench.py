@@ -200,12 +200,16 @@ def main() -> None:
     n_ab = int(os.environ.get("SPARC_BENCH_AB_ROUNDS", "3"))
 
     def run_ours(tag: str) -> str:
+        # hash strategy (content-addressed stripes, one full shuffle) —
+        # the sink choice is orthogonal: files sink here too, so the
+        # hash-vs-input delta isolates the shuffle cost
         out_dir = os.path.join(CACHE, f"streams_{CPUS}_{n_rows}_{tag}")
         shutil.rmtree(out_dir, ignore_errors=True)
         encode_job.run_encode(
             df,
             out_dir,
             strategy="hash",
+            sink="files",
             n_stripes=n_stripes,
             fingerprint=f"bench-{n_rows}",
             resume=False,
