@@ -69,6 +69,9 @@ FSST_SAMPLE = 1 << 17  # auto-gate probe sample (one codec window either way)
 # itself costs ~0.2 CPU s, pure overhead on small stripes
 FSST_PROBE_MIN = 8 << 20
 
+# per-worker-process memo of auto-gate rejections: (column, codec) -> count
+_FSST_REJECTS: dict[tuple[str, str], int] = {}
+
 _TS_UNITS = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
@@ -418,7 +421,20 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     fsst_on = _fsst_enabled() if fsst_opt is None else fsst_opt
     probe_min = 4096 if fsst_opt is True else FSST_PROBE_MIN
     table = None
-    if fsst_on and len(data_buf) >= probe_min and is_str and avg_len <= FSST_MAX_AVG_LEN:
+    # Amortize the auto-gate probe: a REJECTED decision for a column is
+    # cached per worker process (workers are reused across stripes), so
+    # only the first stripe pays the ~0.2 s train+sample cost — on web
+    # text the gate rejects every time and was 19% of kernel CPU.  An
+    # accept is NOT cached: the trained table must fit each stripe's
+    # sample, and accepts are rare enough that re-probing is cheap
+    # relative to the win.
+    probe_cached_reject = (
+        fsst_opt is None and _FSST_REJECTS.get((enc.name, enc.codec), 0) > 0
+    )
+    if (
+        fsst_on and not probe_cached_reject
+        and len(data_buf) >= probe_min and is_str and avg_len <= FSST_MAX_AVG_LEN
+    ):
         # Auto mode decides on the measured POST-codec sample win: with
         # the 4 MiB block chunk, a 128 KiB sample fits one codec window
         # both raw and FSST'd, so zstd(fsst(sample))/zstd(sample) is an
@@ -440,6 +456,10 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
             post_raw = len(block.compress(sample, enc.codec))
             if post_fsst < FSST_POST_GATE * post_raw:
                 table = cand
+            else:
+                _FSST_REJECTS[(enc.name, enc.codec)] = (
+                    _FSST_REJECTS.get((enc.name, enc.codec), 0) + 1
+                )
 
     enc.seg_streams["LENGTH"] = []
     enc.seg_streams["DATA"] = []
