@@ -497,6 +497,33 @@ def _embedding_dups(spark, sf_dir):
     )
 
 
+def _embedding_dups_exact(spark, sf_dir):
+    """The embedding near-dup pipeline run where it is provably
+    exhaustive (1 band x 0 planes -> a single bucket -> every pair is a
+    candidate), at a threshold where the synthetic corpus actually has
+    pairs — so a brute-force SQL oracle value-checks the whole pipeline
+    (banded self-join, cross-band dedup, rescoring, thresholding); the
+    banded approximation itself is recall-gated by lsh_recall."""
+    from sparc.ops import similarity
+
+    return similarity.embedding_cosine_dups(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45, n_bands=1, planes_per_band=0,
+    ).orderBy("id_a", "id_b")
+
+
+_EMBEDDING_DUPS_EXACT_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
 _REDACT_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
 _REDACT_TO = "X" * 26 + "x" * 26 + "9" * 10
 
@@ -876,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _lsh_recall,
         "ivf_topk": _ivf_topk,
         "embedding_dups": _embedding_dups,
+        "embedding_dups_exact": _embedding_dups_exact,
         "multimodal_features": _multimodal_features,
         "multimodal_feature_fp": _multimodal_feature_fp,
         # masking + pruning surfaces
@@ -909,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simsearch_topk": _SIMSEARCH_SQL,
         "lsh_recall": _LSH_RECALL_SQL,
+        "embedding_dups_exact": _EMBEDDING_DUPS_EXACT_SQL,
         "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
