@@ -574,6 +574,39 @@ FROM documents
 """
 
 
+def _prune_decode_documents(spark, sf_dir):
+    """End-to-end three-level filtering with a VALUE oracle: encode the
+    documents table into stripes via the files sink (direct stripe-file
+    writes + footer manifest), then decode with one sarg tree driving
+    stripe pruning, row-group pruning, and the compiled Catalyst row
+    filter.  The decoded result must be exactly the matching rows — a
+    stronger check than the stripe-count surface in
+    stripe_prune_documents."""
+    import tempfile
+
+    from sparc.job import decode_job, encode_job
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sparc_pdx_") + "/streams"
+    encode_job.run_encode(
+        docs, out, key="doc_id", strategy="hash", n_stripes=4,
+        resume=False, sink="files",
+    )
+    pred = ("and", ("between", "doc_id", 100, 199), ("not", ("is_null", "lang")))
+    dec = decode_job.run_decode(
+        spark, out, columns=["doc_id", "lang", "n_chars"],
+        stripe_filter=pred, row_filter=True,
+    )
+    return dec.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_PRUNE_DECODE_DOCUMENTS_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id BETWEEN 100 AND 199 AND lang IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 def _stripe_prune_documents(spark, sf_dir):
     """Engine-internal: encode documents into stripes with stats+bloom,
     then count stripes kept by a stats range probe and a bloom point
@@ -911,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_sha256": _mask_sha256,
         "char_varchar_documents": _char_varchar_documents,
         "stripe_prune_documents": _stripe_prune_documents,
+        "prune_decode_documents": _prune_decode_documents,
     }
 
 
@@ -938,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_topk": _SIMSEARCH_SQL,
         "lsh_recall": _LSH_RECALL_SQL,
         "embedding_dups_exact": _EMBEDDING_DUPS_EXACT_SQL,
+        "prune_decode_documents": _PRUNE_DECODE_DOCUMENTS_SQL,
         "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
