@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--sort", default="",
                     help="comma-separated in-stripe sort columns ('' disables)")
     ap.add_argument("--rows-per-stripe", type=int, default=100_000)
+    ap.add_argument("--sink", default="files", choices=["files", "parquet"],
+                    help="files = direct stripe-file writes + footer-only "
+                         "manifest (the cluster default); parquet = "
+                         "self-contained single table")
     ap.add_argument("--row-index-stride", type=int, default=10_000,
                     help="row-group index stride (0 disables; multiple of 8)")
     ap.add_argument("--fingerprint", default="", help="input snapshot id for lineage")
@@ -58,6 +62,7 @@ def main() -> None:
         resume=not args.no_resume,
         target_rows_per_stripe=args.rows_per_stripe,
         row_index_stride=args.row_index_stride or None,
+        sink=args.sink,
     )
     print(summary)
     spark.stop()
