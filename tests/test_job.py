@@ -234,3 +234,18 @@ def test_files_sink_compact_zero_copy(spark, pages_path, tmp_path):
     assert dec.count() == 6000  # 3000 rows from each source
     # no stripe files copied into the merged dir
     assert not glob.glob(os.path.join(out, "stripes", "*"))
+
+
+def test_encode_from_catalog_table(spark, pages_path, tmp_path):
+    """Catalog-agnostic input: any table Spark can resolve (session
+    catalog here; an Iceberg catalog on a real cluster — no Iceberg
+    runtime ships in this sandbox) feeds run_encode through the same
+    DataFrame surface `scripts/encode_submit.py --input <table>` uses."""
+    spark.read.parquet(pages_path).createOrReplaceTempView("pages_v")
+    df = spark.read.table("pages_v")
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(
+        df, out, strategy="input", sink="files",
+        target_rows_per_stripe=2000, resume=False,
+    )
+    assert decode_job.run_decode(spark, out).count() == N_ROWS
