@@ -278,6 +278,24 @@ def main() -> None:
         ref_cpus.append(c)
         i += 1
 
+    # pyscan (workers pyarrow-read distributed file paths; the JVM never
+    # touches data): one timed run — parallelism is file-granular, so on
+    # this bench's ~15-file input it underutilizes local[32]; recorded
+    # for the shape, not as the headline (at 10^12-row file counts the
+    # file-granularity constraint vanishes)
+    pys_dir = os.path.join(CACHE, f"streams_py_{CPUS}_{n_rows}")
+    shutil.rmtree(pys_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    encode_job.run_encode_paths(
+        spark, pages_path, pys_dir,
+        target_rows_per_stripe=max(n_rows // n_stripes, 1),
+        fingerprint=f"bench-py-{n_rows}", resume=False,
+    )
+    timings["encode_pages_pyscan"] = round(time.perf_counter() - t0, 3)
+    extras["encode_gbps_pyscan"] = round(
+        raw / timings["encode_pages_pyscan"] / 1e9, 4
+    )
+
     enc_wall, ref_wall = _median(ours_walls), _median(ref_walls)
     enc_cpu, ref_cpu = _median(ours_cpus), _median(ref_cpus)
     timings["encode_pages_cold"] = round(cold_ours, 3)

@@ -356,6 +356,140 @@ def run_encode(
     return {"n_stripes": n_stripes, "skipped": skipped, "out_dir": out_dir}
 
 
+def run_encode_paths(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    codec: str = "zstd",
+    target_rows_per_stripe: int = 100_000,
+    sort_within: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    fsst: bool | None = None,
+    row_index_stride: int | None = ROW_INDEX_STRIDE,
+    fingerprint: str = "",
+    resume: bool = True,
+    n_partitions: int | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Direct-scan encode: distribute parquet FILE PATHS to workers; each
+    worker reads its files with pyarrow (streamed row-group-at-a-time)
+    and encodes stripes incrementally to the files sink.
+
+    This removes the JVM from the data path entirely — no JVM parquet
+    scan, no JVM->Python Arrow transfer: Spark only schedules.  At
+    cluster scale this is the workers-read-from-object-store shape (an
+    Iceberg scan's planned file list slots in the same way).  Stripe ids
+    are (sorted file index, local chunk) — deterministic for a fixed
+    input snapshot, so resume via FOOTER checkpoints + the input
+    fingerprint works exactly as in the ``input`` strategy.
+    """
+    import os
+
+    if os.path.isfile(input_dir):
+        files = [input_dir]
+    else:
+        files = sorted(
+            os.path.join(input_dir, f)
+            for f in os.listdir(input_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    if not files:
+        raise ValueError(f"no parquet files under {input_dir}")
+    done = (
+        frozenset(completed_stripes(spark, out_dir, fingerprint=fingerprint))
+        if resume
+        else frozenset()
+    )
+    done_bc = spark.sparkContext.broadcast(done)
+    per = max(target_rows_per_stripe, 1)
+    sink_dir = out_dir
+
+    def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        from .. import runtime
+
+        runtime.init()
+        done_set = done_bc.value
+
+        def write_stripe(table: pa.Table, sid: int):
+            if sid in done_set:
+                return None
+            if sort_within:
+                table = table.sort_by([(c, "ascending") for c in sort_within])
+            streams, footer = stripe_mod.encode_stripe(
+                table, codec=codec, bloom_columns=bloom_columns, fsst=fsst,
+                row_index_stride=row_index_stride,
+            )
+            crcs = {f"{c}/{k}": zlib.crc32(v) for (c, k), v in streams.items()}
+            footer["crc32"] = crcs
+            footer["stripe_id"] = sid
+            footer["input_fingerprint"] = fingerprint
+            footer["sorted_by"] = sort_within or []
+            rel = f"stripes/{sid}.sparc"
+            path = _os.path.join(sink_dir, rel)
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            spans = []
+            off = 0
+            with open(tmp, "wb") as f:
+                for (cname, kind), blob in streams.items():
+                    f.write(blob)
+                    spans.append([cname, kind, off, len(blob)])
+                    off += len(blob)
+            _os.replace(tmp, path)
+            footer["stripe_file"] = rel
+            footer["stream_spans"] = spans
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([sid], pa.int64()),
+                    pa.array([""], pa.string()),
+                    pa.array(["FOOTER"], pa.string()),
+                    pa.array([json.dumps(footer).encode()], pa.large_binary()),
+                ],
+                schema=_PA_OUT,
+            )
+
+        for b in batches:
+            for fidx, path in zip(b.column("idx").to_pylist(), b.column("path").to_pylist()):
+                base = fidx * INPUT_SPLIT_SPACE
+                local = 0
+                buf: list[pa.RecordBatch] = []
+                buffered = 0
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=1 << 16, columns=columns):
+                    buf.append(rb)
+                    buffered += rb.num_rows
+                    while buffered >= per:
+                        table = pa.Table.from_batches(buf)
+                        out = write_stripe(table.slice(0, per), base + local)
+                        local += 1
+                        rest = table.slice(per)
+                        buf = rest.to_batches(max_chunksize=1 << 20) if rest.num_rows else []
+                        buffered = rest.num_rows
+                        if out is not None:
+                            yield out
+                if buffered:
+                    out = write_stripe(pa.Table.from_batches(buf), base + local)
+                    if out is not None:
+                        yield out
+
+    parts = n_partitions or min(len(files), spark.sparkContext.defaultParallelism)
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "idx long, path string"
+    ).repartition(parts, "idx")
+    (
+        paths_df.mapInArrow(encode_files, schema=STREAMS_SCHEMA)
+        .write.mode("append")
+        .option("compression", "uncompressed")
+        .parquet(out_dir)
+    )
+    return {"n_files": len(files), "skipped": len(done), "out_dir": out_dir}
+
+
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-stripe metrics/lineage as a DataFrame (parsed FOOTER rows)."""
     footers = (

@@ -249,3 +249,26 @@ def test_encode_from_catalog_table(spark, pages_path, tmp_path):
         target_rows_per_stripe=2000, resume=False,
     )
     assert decode_job.run_decode(spark, out).count() == N_ROWS
+
+
+def test_pyscan_encode_roundtrip_and_resume(spark, pages_path, tmp_path):
+    """Direct-scan encode (workers pyarrow-read distributed file paths,
+    JVM never touches the data): round-trip + resume parity with the
+    input strategy."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode_paths(
+        spark, pages_path, out,
+        target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res["n_files"] >= 1
+    _compare_roundtrip(spark, df, out)
+    n_files = len(glob.glob(os.path.join(out, "stripes", "*.sparc")))
+    assert n_files >= 4
+    res2 = encode_job.run_encode_paths(
+        spark, pages_path, out,
+        target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res2["skipped"] == n_files
+    assert len(glob.glob(os.path.join(out, "stripes", "*.sparc"))) == n_files
+    assert decode_job.run_decode(spark, out).count() == N_ROWS
