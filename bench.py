@@ -129,14 +129,19 @@ def gen_pages_parquet(spark, n_rows: int, path: str, chunk: int = 20_000) -> Non
 
     # one chunk per task -> one ~20 MB file per chunk: scan parallelism of
     # the result matches its file count (a single giant row group caps any
-    # downstream stage at n_files tasks)
+    # downstream stage at n_files tasks).  parquet.block.size=2 MiB gives
+    # each file several row groups — the shape of real web-table files
+    # (hundreds of MB, many row groups), which is what lets the direct-
+    # scan path split below file granularity at this bench's tiny SF.
     df = spark.createDataFrame([(o,) for o in offsets], "off long").repartition(
         max(len(offsets), 1)
     )
     out = df.mapInArrow(
         gen, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
     )
-    out.write.mode("overwrite").parquet(path)
+    out.write.mode("overwrite").option(
+        "parquet.block.size", 2 * 1024 * 1024
+    ).parquet(path)
 
 
 def raw_bytes_of(spark, path: str) -> int:
@@ -166,7 +171,7 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_rows = int(ROWS_OVERRIDE) if ROWS_OVERRIDE else max(20_000, int(3_000_000 * sf))
     os.makedirs(CACHE, exist_ok=True)
-    pages_path = os.path.join(CACHE, f"pages_{n_rows}.parquet")
+    pages_path = os.path.join(CACHE, f"pages_{n_rows}_rg2m.parquet")
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")

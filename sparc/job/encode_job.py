@@ -372,19 +372,31 @@ def run_encode_paths(
     n_partitions: int | None = None,
     columns: list[str] | None = None,
 ) -> dict:
-    """Direct-scan encode: distribute parquet FILE PATHS to workers; each
-    worker reads its files with pyarrow (streamed row-group-at-a-time)
-    and encodes stripes incrementally to the files sink.
+    """Direct-scan encode: distribute parquet SCAN UNITS (file + row-group
+    range) to workers; each worker reads its ranges with pyarrow
+    (streamed row-group-at-a-time) and encodes stripes incrementally to
+    the files sink.
 
     This removes the JVM from the data path entirely — no JVM parquet
     scan, no JVM->Python Arrow transfer: Spark only schedules.  At
-    cluster scale this is the workers-read-from-object-store shape (an
-    Iceberg scan's planned file list slots in the same way).  Stripe ids
-    are (sorted file index, local chunk) — deterministic for a fixed
-    input snapshot, so resume via FOOTER checkpoints + the input
-    fingerprint works exactly as in the ``input`` strategy.
+    cluster scale this is the workers-read-from-object-store shape: an
+    Iceberg scan task IS (file, row-group/offset range), so the planned
+    task list slots straight in.  Splitting below file granularity
+    matters because parallelism is unit-granular — a 15-file input on 32
+    cores would otherwise cap at 15 tasks no matter how large the files.
+
+    Units are built from parquet FOOTER METADATA ONLY (row-group row
+    counts; no data pages touched): contiguous row groups of one file are
+    greedily packed to ~``target_rows_per_stripe`` rows per unit.  On an
+    Iceberg table the manifest carries these counts, so unit planning
+    needs no file reads at all.  Stripe ids are (unit index, local
+    chunk) — deterministic for a fixed input snapshot + stripe target, so
+    resume via FOOTER checkpoints + the input fingerprint works exactly
+    as in the ``input`` strategy.
     """
     import os
+
+    import pyarrow.parquet as pq
 
     if os.path.isfile(input_dir):
         files = [input_dir]
@@ -396,13 +408,27 @@ def run_encode_paths(
         )
     if not files:
         raise ValueError(f"no parquet files under {input_dir}")
+    per = max(target_rows_per_stripe, 1)
+    # scan-unit plan: (path, rg_lo, rg_hi) with ~per rows each.  Metadata-
+    # only footer reads; at 10^12-row scale this comes from the Iceberg
+    # manifest instead (same counts, zero file opens).
+    units: list[tuple[str, int, int]] = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        lo, acc = 0, 0
+        for g in range(md.num_row_groups):
+            acc += md.row_group(g).num_rows
+            if acc >= per:
+                units.append((path, lo, g + 1))
+                lo, acc = g + 1, 0
+        if lo < md.num_row_groups:
+            units.append((path, lo, md.num_row_groups))
     done = (
         frozenset(completed_stripes(spark, out_dir, fingerprint=fingerprint))
         if resume
         else frozenset()
     )
     done_bc = spark.sparkContext.broadcast(done)
-    per = max(target_rows_per_stripe, 1)
     sink_dir = out_dir
 
     def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -454,13 +480,22 @@ def run_encode_paths(
             )
 
         for b in batches:
-            for fidx, path in zip(b.column("idx").to_pylist(), b.column("path").to_pylist()):
-                base = fidx * INPUT_SPLIT_SPACE
+            for uidx, path, rg_lo, rg_hi in zip(
+                b.column("idx").to_pylist(),
+                b.column("path").to_pylist(),
+                b.column("rg_lo").to_pylist(),
+                b.column("rg_hi").to_pylist(),
+            ):
+                base = uidx * INPUT_SPLIT_SPACE
                 local = 0
                 buf: list[pa.RecordBatch] = []
                 buffered = 0
                 pf = pq.ParquetFile(path)
-                for rb in pf.iter_batches(batch_size=1 << 16, columns=columns):
+                for rb in pf.iter_batches(
+                    batch_size=1 << 16,
+                    row_groups=range(rg_lo, rg_hi),
+                    columns=columns,
+                ):
                     buf.append(rb)
                     buffered += rb.num_rows
                     while buffered >= per:
@@ -477,9 +512,10 @@ def run_encode_paths(
                     if out is not None:
                         yield out
 
-    parts = n_partitions or min(len(files), spark.sparkContext.defaultParallelism)
+    parts = n_partitions or min(len(units), spark.sparkContext.defaultParallelism * 4)
     paths_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "idx long, path string"
+        [(i, p, lo, hi) for i, (p, lo, hi) in enumerate(units)],
+        "idx long, path string, rg_lo int, rg_hi int",
     ).repartition(parts, "idx")
     (
         paths_df.mapInArrow(encode_files, schema=STREAMS_SCHEMA)
@@ -487,7 +523,12 @@ def run_encode_paths(
         .option("compression", "uncompressed")
         .parquet(out_dir)
     )
-    return {"n_files": len(files), "skipped": len(done), "out_dir": out_dir}
+    return {
+        "n_files": len(files),
+        "n_units": len(units),
+        "skipped": len(done),
+        "out_dir": out_dir,
+    }
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

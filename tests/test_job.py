@@ -272,3 +272,30 @@ def test_pyscan_encode_roundtrip_and_resume(spark, pages_path, tmp_path):
     assert res2["skipped"] == n_files
     assert len(glob.glob(os.path.join(out, "stripes", "*.sparc"))) == n_files
     assert decode_job.run_decode(spark, out).count() == N_ROWS
+
+
+def test_pyscan_row_group_units(spark, tmp_path):
+    """Scan units split BELOW file granularity: a single file with many
+    row groups fans out to multiple units (the Iceberg-scan-task shape —
+    parallelism must not be capped by file count), and each worker reads
+    only its assigned row-group range.  Round-trip + resume stay exact."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "one_big_file.parquet")
+    table = pages.generate(N_ROWS, seed=42)
+    pq.write_table(table, src, row_group_size=1000)  # 6 row groups
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode_paths(
+        spark, src, out, target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res["n_files"] == 1
+    assert res["n_units"] == 3  # greedy 2-row-group packs (2000 rows >= 1500)
+    df = spark.read.parquet(src)
+    _compare_roundtrip(spark, df, out)
+    n_stripes = len(glob.glob(os.path.join(out, "stripes", "*.sparc")))
+    assert n_stripes == 6  # 3 units x (1500 + 500) rows
+    res2 = encode_job.run_encode_paths(
+        spark, src, out, target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res2["skipped"] == n_stripes
+    assert decode_job.run_decode(spark, out).count() == N_ROWS
