@@ -250,20 +250,51 @@ FROM d ORDER BY "column"
 
 
 def _rle_runs_orders(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    runs = o.select(
+    # Global-order run count WITHOUT a global Window.orderBy (which
+    # funnels the whole table through one task — the classic scale-killer
+    # at 100x).  repartitionByRange keeps the global key order ACROSS
+    # partitions, so: count run starts with a partition-local window
+    # (parallel), then subtract the partition seams whose adjacent
+    # statuses match, using a boundary table of one row per partition.
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    nparts = max(o.sparkSession.sparkContext.defaultParallelism, 8)
+    parts = o.repartitionByRange(nparts, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("o_orderkey")
+    local = parts.select(
+        "pid",
+        "o_orderkey",
+        "o_orderstatus",
         F.when(
-            F.lag("o_orderstatus").over(w).isNull()
-            | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(w)),
+            F.lag("o_orderstatus").over(wp).isNull()
+            | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(wp)),
             1,
         )
         .otherwise(0)
-        .alias("run_start")
+        .alias("run_start"),
     )
-    return runs.agg(
-        F.sum("run_start").cast("long").alias("n_runs"),
-        F.count(F.lit(1)).alias("n_rows"),
+    per_part = local.groupBy("pid").agg(
+        F.sum("run_start").alias("runs"),
+        F.count(F.lit(1)).alias("rows"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    # boundary table: nparts rows — a window over it is trivially cheap
+    wb = Window.orderBy("min_key")
+    seams = per_part.select(
+        "runs",
+        "rows",
+        F.when(
+            F.lag("last_status").over(wb) == F.col("first_status"), 1
+        )
+        .otherwise(0)
+        .alias("seam_merge"),
+    )
+    return seams.agg(
+        (F.sum("runs") - F.sum("seam_merge")).cast("long").alias("n_runs"),
+        F.sum("rows").cast("long").alias("n_rows"),
     )
 
 
