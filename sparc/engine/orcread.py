@@ -9,7 +9,9 @@ SNAPPY / ZSTD, flat struct schema of int8..int64, date32, double/float,
 bool, string (DIRECT / DICTIONARY v1 *and* DIRECT_V2 / DICTIONARY_V2 —
 the ColumnEncoding kind selects RLEv1 vs RLEv2 per stream, mirroring
 TreeReaderFactory's reader-version dispatch), binary, timestamp
-(UTC writerTimezone only — anything else raises rather than drifting);
+(any IANA writerTimezone — wall-clock semantics matching the reference
+reader: per-file 2015-base shift + vectorized per-value writer-zone
+conversion, verified against spark.read.orc under a UTC session);
 row-index streams are skipped (we read whole stripes).
 
 Tail layout per ``ReaderImpl.extractPostScript/extractFileTail``
@@ -254,16 +256,44 @@ def _decode_orc_column(
         vals = bitfield.decode(streams["DATA"], n_vals)
         return scatter(vals, pa.bool_())
     if tk == "timestamp":
-        if writer_tz not in ("UTC", "GMT", "Etc/UTC", "Etc/GMT"):
-            raise NotImplementedError(
-                f"orcread: non-UTC writerTimezone {writer_tz!r} needs "
-                "per-value DST adjustment; refusing to decode with drift"
-            )
+        utc = writer_tz in ("UTC", "GMT", "Etc/UTC", "Etc/GMT")
+        if utc:
+            base = stripe_mod.TS_BASE_SECONDS
+        else:
+            # The wire value is (instant seconds - base), where base is
+            # the INSTANT of 2015-01-01 00:00:00 wall-clock in the
+            # writer's zone (TreeWriterBase's base_timestamp) — one
+            # per-file constant.
+            from datetime import datetime
+            from zoneinfo import ZoneInfo
+
+            try:
+                zone = ZoneInfo(writer_tz)
+            except Exception as exc:
+                raise NotImplementedError(
+                    f"orcread: unknown writerTimezone {writer_tz!r}"
+                ) from exc
+            base = int(datetime(2015, 1, 1, tzinfo=zone).timestamp())
         seconds = rle.decode(streams["DATA"], n_vals, signed=True)
         nanos = stripe_mod.parse_nanos(
             rle.decode(streams["SECONDARY"], n_vals, signed=False)
         )
-        us = (seconds + stripe_mod.TS_BASE_SECONDS) * 1_000_000 + nanos // 1_000
+        us = (seconds + base) * 1_000_000 + nanos // 1_000
+        if not utc:
+            # ORC TIMESTAMP is wall-clock semantics: the reference reader
+            # re-expresses the writer's LOCAL wall clock in the reader's
+            # zone (TimestampTreeReader's writer/reader offset
+            # adjustment; verified against spark.read.orc under a UTC
+            # session).  The offset is per-VALUE (DST), so convert the
+            # recovered instants to writer-zone wall time vectorized.
+            import pandas as pd
+
+            wall = (
+                pd.DatetimeIndex(us.astype("datetime64[us]"), tz="UTC")
+                .tz_convert(zone)
+                .tz_localize(None)
+            )
+            us = wall.values.astype("datetime64[us]").astype(np.int64)
         return scatter(us, pa.timestamp("us"))
     if tk in ("string", "binary"):
         t = pa.string() if tk == "string" else pa.binary()

@@ -136,19 +136,56 @@ def test_read_own_v011_writer(tmp_path, mixed_table):
     _assert_same_as_pyarrow(path)
 
 
-def test_non_utc_writer_timezone_refused(tmp_path):
-    """A non-UTC writerTimezone must raise, not silently drift."""
-    import pyarrow.orc
-
-    t = pa.table({"ts": pa.array([1_600_000_000_000_000] * 10, pa.timestamp("us"))})
-    path = str(tmp_path / "ts.orc")
-    pa.orc.write_table(t, path)
+def test_unknown_writer_timezone_refused():
+    """An unresolvable writerTimezone must raise, not silently drift."""
     import sparc.engine.orcread as orv
 
-    orig = orv._decode_orc_column
-    # pyarrow writes UTC; simulate a foreign zone via the parameter path
     with pytest.raises(NotImplementedError, match="writerTimezone"):
         orv._decode_orc_column(
-            {1: [9]}, {"DATA": b"", "SECONDARY": b""}, {}, 0, "America/Chicago"
+            {1: [9]}, {"DATA": b"", "SECONDARY": b""}, {}, 0, "Not/AZone"
         )
-    assert orv._decode_orc_column is orig
+
+
+def test_non_utc_writer_timezone_instants(spark, tmp_path):
+    """A file REALLY written with a non-UTC JVM default zone (which is
+    what orc-core records as writerTimezone) decodes to exactly what the
+    reference Java reader produces under a UTC session: ORC TIMESTAMP is
+    wall-clock semantics, so the writer's local wall time is re-expressed
+    in the reader zone with a per-VALUE (DST-dependent) offset — values
+    on both sides of a DST transition prove the per-value part."""
+    import pandas as pd
+
+    # instants straddling the US DST switch (2015-03-08) + a winter one
+    vals = pd.to_datetime(
+        ["2015-01-15 12:00:00", "2015-03-08 01:59:59", "2015-03-08 03:00:01",
+         "2015-07-01 23:30:00", "2020-11-01 01:30:00"]
+    )
+    src_df = spark.createDataFrame(pd.DataFrame({"ts": vals}))
+    jtz = spark._jvm.java.util.TimeZone
+    orig_tz = jtz.getDefault()
+    out = str(tmp_path / "orc_chicago")
+    try:
+        jtz.setDefault(jtz.getTimeZone("America/Chicago"))
+        src_df.coalesce(1).write.mode("overwrite").orc(out)
+    finally:
+        jtz.setDefault(orig_tz)
+    path = glob.glob(out + "/part-*.orc")[0]
+    # prove the file really records the foreign zone before trusting it
+    with open(path, "rb") as f:
+        data = f.read()
+    ps = orcread._parse_pb(data[-1 - data[-1] : -1])
+    kind = orcread._KINDS[ps.get(2, [0])[0]]
+    footer = orcread._parse_pb(
+        orcread._inflate(data[-1 - data[-1] - ps[1][0] : -1 - data[-1]], kind)
+    )
+    sp = orcread._parse_pb(footer[3][0])
+    base, ilen, dlen = sp[1][0], sp.get(2, [0])[0], sp[3][0]
+    sf = orcread._parse_pb(
+        orcread._inflate(data[base + ilen + dlen : base + ilen + dlen + sp[4][0]], kind)
+    )
+    assert bytes(sf[3][0]).decode() == "America/Chicago"
+    got = orcread.read_orc(path)["ts"].combine_chunks().cast(pa.timestamp("us"))
+    # oracle: the reference Java reader under the same UTC session
+    ref = spark.read.orc(out).toPandas()["ts"].sort_values().reset_index(drop=True)
+    got_pd = got.to_pandas().sort_values().reset_index(drop=True)
+    assert (got_pd == ref.astype("datetime64[us]")).all()
