@@ -21,7 +21,7 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet path or table name")
     ap.add_argument("--output", required=True, help="streams table output dir")
     ap.add_argument("--strategy", default="hash",
-                    choices=["hash", "lang_salted", "input"])
+                    choices=["hash", "lang_salted", "input", "pyscan"])
     ap.add_argument("--stripes", type=int, default=None)
     ap.add_argument("--codec", default="zstd")
     ap.add_argument("--key", default="url")
@@ -44,6 +44,22 @@ def main() -> None:
     from sparc.job import encode_job
 
     spark = SparkSession.builder.appName("sparc-encode").getOrCreate()
+    if args.strategy == "pyscan":
+        # direct-scan: workers pyarrow-read row-group units; JVM only
+        # schedules (files sink implied)
+        summary = encode_job.run_encode_paths(
+            spark, args.input, args.output,
+            codec=args.codec,
+            sort_within=[c for c in args.sort.split(",") if c] or None,
+            bloom_columns=[c for c in args.bloom.split(",") if c] or None,
+            fingerprint=args.fingerprint,
+            resume=not args.no_resume,
+            target_rows_per_stripe=args.rows_per_stripe,
+            row_index_stride=args.row_index_stride or None,
+        )
+        print(summary)
+        spark.stop()
+        return
     df = (
         spark.read.parquet(args.input)
         if "/" in args.input
