@@ -363,6 +363,25 @@ def main() -> None:
     assert n_dec == n_rows, f"files decode row count {n_dec} != {n_rows}"
     timings["decode_pages_files"] = round(files_wall, 3)
     extras["decode_gbps_files"] = round(raw / files_wall / 1e9, 4)
+    # reference decode: spark.read.orc with forced full-column
+    # materialization (a bare count() is metadata-only for ORC and would
+    # not decode a single stream)
+    from pyspark.sql import functions as F
+
+    force = F.sum(
+        F.octet_length("html") + F.octet_length("text")
+        + F.octet_length("url") + F.octet_length("lang")
+    )
+    ref_read_walls = []
+    for _ in range(2):  # cold + warm
+        t0 = time.perf_counter()
+        spark.read.orc(ref_dir).select(force).collect()
+        ref_read_walls.append(time.perf_counter() - t0)
+    timings["reference_orc_read"] = round(ref_read_walls[-1], 3)
+    extras["ref_decode_gbps"] = round(raw / ref_read_walls[-1] / 1e9, 4)
+    extras["decode_vs_reference_wall"] = round(
+        files_wall / ref_read_walls[-1], 4
+    )
 
     # ---- operator sample at the testdata scale factor ----------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

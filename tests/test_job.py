@@ -195,6 +195,38 @@ def test_files_sink_input_strategy_and_resume(spark, pages_path, tmp_path):
     _compare_roundtrip(spark, df, out)
 
 
+def test_files_sink_orphan_stripe_file_resume(spark, pages_path, tmp_path):
+    """Crash window between the stripe-file rename and the footer commit:
+    the orphaned stripe file is invisible garbage (no FOOTER row), and a
+    resumed run re-encodes that stripe, atomically overwriting the
+    orphan with identical bytes."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=6,
+                          n_partitions=6, sink="files")
+    # simulate the dead task: drop a committed footer part file while its
+    # stripe files stay on disk (rename happened, manifest commit did not)
+    part_files = sorted(glob.glob(os.path.join(out, "part-*")), key=os.path.getsize)
+    os.remove(part_files[-1])
+    done_before = set(encode_job.completed_stripes(spark, out))
+    assert len(done_before) < 6
+    orphans = {
+        os.path.basename(p): os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "stripes", "*.sparc"))
+        if int(os.path.basename(p).split(".")[0]) not in done_before
+    }
+    assert orphans  # the crash really left invisible stripe files behind
+    res = encode_job.run_encode(df, out, strategy="hash", n_stripes=6,
+                                n_partitions=6, sink="files")
+    assert res["skipped"] == len(done_before)
+    assert set(encode_job.completed_stripes(spark, out)) == set(range(6))
+    # the orphans were overwritten in place with identical content sizes
+    for name, size in orphans.items():
+        assert os.path.getsize(os.path.join(out, "stripes", name)) == size
+    assert not glob.glob(os.path.join(out, "stripes", "*.tmp-*"))
+    _compare_roundtrip(spark, df, out, verify_crc=True)
+
+
 def test_files_sink_projection_and_prune(spark, pages_path, tmp_path):
     df = spark.read.parquet(pages_path)
     out = str(tmp_path / "streams")
