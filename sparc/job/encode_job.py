@@ -162,10 +162,15 @@ def _encode_partition_factory(
                 return None
             return _emit(table, sid)
 
+        # mid-stream cuts only at >= 2*per buffered rows: a partition of
+        # ~per rows becomes ONE full stripe instead of a full stripe plus
+        # a runt (runts compress worse and add per-stripe overhead); the
+        # final stripe of a long partition lands in [per, 2*per).  Worker
+        # residency stays bounded at <= 2 stripe targets.
         for b in batches:
             buf.append(b)
             buffered += b.num_rows
-            while buffered >= per:
+            while buffered >= 2 * per:
                 if local >= INPUT_SPLIT_SPACE:
                     raise ValueError(
                         f"input partition {pid} exceeds {INPUT_SPLIT_SPACE} stripes; "
@@ -491,6 +496,8 @@ def run_encode_paths(
                 buf: list[pa.RecordBatch] = []
                 buffered = 0
                 pf = pq.ParquetFile(path)
+                # same 2*per cut rule as the input strategy: a unit packed
+                # to ~per rows encodes as ONE full stripe, no runt
                 for rb in pf.iter_batches(
                     batch_size=1 << 16,
                     row_groups=range(rg_lo, rg_hi),
@@ -498,7 +505,7 @@ def run_encode_paths(
                 ):
                     buf.append(rb)
                     buffered += rb.num_rows
-                    while buffered >= per:
+                    while buffered >= 2 * per:
                         table = pa.Table.from_batches(buf)
                         out = write_stripe(table.slice(0, per), base + local)
                         local += 1

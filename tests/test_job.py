@@ -325,7 +325,8 @@ def test_pyscan_row_group_units(spark, tmp_path):
     df = spark.read.parquet(src)
     _compare_roundtrip(spark, df, out)
     n_stripes = len(glob.glob(os.path.join(out, "stripes", "*.sparc")))
-    assert n_stripes == 6  # 3 units x (1500 + 500) rows
+    # one FULL stripe per 2000-row unit (2000 < 2*target: no runt cut)
+    assert n_stripes == 3
     res2 = encode_job.run_encode_paths(
         spark, src, out, target_rows_per_stripe=1500, fingerprint="pages@42",
     )
