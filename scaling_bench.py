@@ -93,8 +93,13 @@ def _session(cpus: int):
 
 
 def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
-            raw_bytes: list) -> tuple[float, float]:
-    """(best full-job wall, best stage-only wall) at local[cpus]."""
+            raw_bytes: list) -> tuple[float, float, float]:
+    """(best full-job wall, best stage-only wall, best no-op floor wall)
+    at local[cpus].  The floor runs the identical scan → Arrow → Python
+    pipeline with the encode kernel replaced by a byte count: it is the
+    fixed plumbing cost at this parallelism, so (stage - floor) isolates
+    the engine's own scaling from Spark's per-job overhead."""
+    import pyarrow as _pa
     from pyspark.sql import functions as F
 
     import bench as bench_mod
@@ -115,7 +120,15 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
             "overwrite"
         ).parquet(staged_path)
 
-    job_walls, stage_walls = [], []
+    def floor_fn(batches):
+        total = 0
+        for b in batches:
+            total += b.num_rows
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array([total], _pa.int64())], names=["n"]
+        )
+
+    job_walls, stage_walls, floor_walls = [], [], []
     fn = encode_job._encode_partition_factory("zstd", None, "scale")
     for r in range(RUNS + 1):  # first run warms workers, untimed
         # full job
@@ -135,11 +148,17 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
             F.sum(F.octet_length("data"))
         ).collect()
         w_stage = time.perf_counter() - t0
+        # no-op floor: identical scan + Arrow transfer + Python round
+        # trip, kernel replaced by a count
+        t0 = time.perf_counter()
+        pre.mapInArrow(floor_fn, schema="n long").select(F.sum("n")).collect()
+        w_floor = time.perf_counter() - t0
         if r > 0:
             job_walls.append(w_job)
             stage_walls.append(w_stage)
+            floor_walls.append(w_floor)
     spark.stop()
-    return min(job_walls), min(stage_walls)
+    return min(job_walls), min(stage_walls), min(floor_walls)
 
 
 def main() -> None:
@@ -157,8 +176,8 @@ def main() -> None:
         n_stripes = max(n4 * 4, 32)
         staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
         raw_bytes: list = []
-        j_n, s_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
-        j_4n, s_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
+        j_n, s_n, f_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
+        j_4n, s_4n, f_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
         raw = raw_bytes[0]
         speedup = n4 / n
         rec = {
@@ -176,6 +195,14 @@ def main() -> None:
             "stage_gbps_n": round(raw / s_n / 1e9, 4),
             "stage_gbps_4n": round(raw / s_4n / 1e9, 4),
             "stage_efficiency": round((s_n / s_4n) / speedup, 4),
+            # identical pipeline with the kernel replaced by a count: the
+            # fixed scan/transfer/schedule cost at each parallelism
+            "floor_wall_n": round(f_n, 2),
+            "floor_wall_4n": round(f_4n, 2),
+            # engine-only scaling: plumbing floor subtracted on both sides
+            "net_efficiency": round(
+                max(s_n - f_n, 1e-9) / max(s_4n - f_4n, 1e-9) / speedup, 4
+            ),
             "hardware_ceiling_efficiency": round(ceiling, 4),
             "stage_efficiency_vs_ceiling": round((s_n / s_4n) / speedup / ceiling, 4),
         }
