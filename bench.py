@@ -167,11 +167,24 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def host_canary_seconds() -> float:
+    """Time a 100M-element allocate+touch: ~1 s on a healthy host, 10-200+ s
+    in this VM's first-touch-fault-storm windows (see BENCH/BASELINE.md).
+    Recorded in the output so any degraded-window artifact carries its own
+    context."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.random.default_rng(1).integers(0, 255, 100_000_000).astype(np.uint8)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_rows = int(ROWS_OVERRIDE) if ROWS_OVERRIDE else max(20_000, int(3_000_000 * sf))
     os.makedirs(CACHE, exist_ok=True)
     pages_path = os.path.join(CACHE, f"pages_{n_rows}_rg2m.parquet")
+    canary_start = host_canary_seconds()
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -402,6 +415,14 @@ def main() -> None:
         timings[qname] = round(time.perf_counter() - t0, 3)
 
     spark.stop()
+
+    extras["host_canary_s"] = [canary_start, host_canary_seconds()]
+    extras["input_wall_best"] = round(min(inp_walls), 3)
+    extras["pyscan_wall_best"] = round(min(pys_walls), 3)
+    extras["encode_wall_best"] = round(min(ours_walls), 3)
+    extras["ref_wall_best"] = round(min(ref_walls), 3)
+    extras["encode_gbps_input_best"] = round(raw / min(inp_walls) / 1e9, 4)
+    extras["encode_gbps_pyscan_best"] = round(raw / min(pys_walls) / 1e9, 4)
 
     print(
         json.dumps(
