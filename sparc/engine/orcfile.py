@@ -15,7 +15,9 @@ Scope (deliberately minimal — an oracle, not the product sink):
   3-byte-header chunk framing, store-original-if-bigger)
 - file versions 0.12 (RLEv2) and legacy 0.11 (RLEv1)
 - flat struct schema of: int32/int64, double/float, string (dict or
-  direct), binary, bool, date32, timestamp[us] (writerTimezone UTC)
+  direct), binary, bool, date32, timestamp[us] (writerTimezone UTC),
+  decimal up to (38, s) — unbounded zigzag-varint mantissa + signed RLE
+  scale stream, ``DecimalTreeWriter`` semantics
 - nullable columns via PRESENT streams
 - optional ROW_INDEX streams (``row_index_stride > 0``): per-group seek
   positions + IntegerStatistics; the reference Java reader demonstrably
@@ -110,7 +112,7 @@ def _f_packed(field: int, vals: list[int]) -> bytes:
 _KIND = {
     "bool": 0, "int32": 3, "int64": 4, "float": 5, "double": 6,
     "string": 7, "large_string": 7, "binary": 8, "large_binary": 8,
-    "timestamp": 9, "struct": 12, "date32[day]": 15,
+    "timestamp": 9, "struct": 12, "decimal": 14, "date32[day]": 15,
 }
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH, _STREAM_DICT = 0, 1, 2, 3
 _STREAM_SECONDARY, _STREAM_ROW_INDEX = 5, 6
@@ -123,10 +125,28 @@ DICT_THRESHOLD = 0.8  # orc.dictionary.key.threshold
 def _column_kind(t: pa.DataType) -> int:
     if pa.types.is_timestamp(t):
         return _KIND["timestamp"]
+    if pa.types.is_decimal(t):
+        return _KIND["decimal"]
     s = str(t)
     if s not in _KIND:
         raise NotImplementedError(f"orcfile: unsupported type {t}")
     return _KIND[s]
+
+
+def _type_pb(t: pa.DataType) -> bytes:
+    """Footer Type proto for a leaf column: kind (1) plus, for decimal,
+    precision (5) and scale (6)."""
+    out = _f_varint(1, _column_kind(t))
+    if pa.types.is_decimal(t):
+        out += _f_varint(5, t.precision) + _f_varint(6, t.scale)
+    return out
+
+
+def _decimal_words(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null unscaled (low u64, high i64) words, via decimal128."""
+    if not pa.types.is_decimal128(arr.type):
+        arr = arr.cast(pa.decimal128(arr.type.precision, arr.type.scale))
+    return stripe_mod._decimal_unscaled_words(arr)
 
 
 def _encode_column(
@@ -161,6 +181,17 @@ def _encode_column(
         nanos = stripe_mod.format_nanos(frac * (1_000_000_000 // unit_scale))
         streams.append((_STREAM_DATA, rlev2.encode(seconds, signed=True)))
         streams.append((_STREAM_SECONDARY, rlev2.encode(nanos, signed=False)))
+    elif pa.types.is_decimal(t):
+        # DecimalTreeWriter: DATA = unbounded zigzag-varint mantissa
+        # (SerializationUtils.writeBigInteger), SECONDARY = *signed* RLE
+        # scale, one per value (DecimalTreeWriter.writeBatch)
+        from ..kernels import bigdec
+
+        lo, hi = _decimal_words(nn)
+        streams.append((_STREAM_DATA, bigdec.encode(lo, hi)))
+        streams.append(
+            (_STREAM_SECONDARY, rle(np.full(len(nn), t.scale, np.int64), True))
+        )
     elif pa.types.is_floating(t):
         np_t = np.float32 if pa.types.is_float32(t) else np.float64
         vals = nn.to_numpy(zero_copy_only=False).astype(np_t)
@@ -305,6 +336,25 @@ def _encode_column_grouped(
             (
                 _STREAM_SECONDARY,
                 [rle(nanos[vs(g)], False) for g in range(n_groups)],
+                _EXTRAS_RLE,
+            )
+        )
+    elif pa.types.is_decimal(t):
+        from ..kernels import bigdec
+
+        lo, hi = _decimal_words(nn)
+        scales = np.full(len(nn), t.scale, np.int64)
+        streams.append(
+            (
+                _STREAM_DATA,
+                [bigdec.encode(lo[vs(g)], hi[vs(g)]) for g in range(n_groups)],
+                _EXTRAS_RAW,  # varint stream: position is the byte offset
+            )
+        )
+        streams.append(
+            (
+                _STREAM_SECONDARY,
+                [rle(scales[vs(g)], True) for g in range(n_groups)],
                 _EXTRAS_RLE,
             )
         )
@@ -500,7 +550,7 @@ def write_orc(
         root += _f_bytes(3, name.encode())
     footer += _f_bytes(4, bytes(root))
     for i in range(n_cols):
-        footer += _f_bytes(4, _f_varint(1, _column_kind(table.schema.types[i])))
+        footer += _f_bytes(4, _type_pb(table.schema.types[i]))
     footer += _f_varint(6, total_rows)
     footer += _f_bytes(7, _min_stats(total_rows, False))  # root
     for i in range(n_cols):

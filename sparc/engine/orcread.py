@@ -11,7 +11,9 @@ the ColumnEncoding kind selects RLEv1 vs RLEv2 per stream, mirroring
 TreeReaderFactory's reader-version dispatch), binary, timestamp
 (any IANA writerTimezone — wall-clock semantics matching the reference
 reader: per-file 2015-base shift + vectorized per-value writer-zone
-conversion, verified against spark.read.orc under a UTC session);
+conversion, verified against spark.read.orc under a UTC session),
+decimal (unbounded varint mantissa + signed per-value scale with
+rescale-to-declared-scale, ``DecimalTreeReader`` semantics);
 row-index streams are skipped (we read whole stripes).
 
 Tail layout per ``ReaderImpl.extractPostScript/extractFileTail``
@@ -141,7 +143,7 @@ def _zstd_content_size(chunk) -> int:
 _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
     6: "double", 7: "string", 8: "binary", 9: "timestamp", 12: "struct",
-    15: "date",
+    14: "decimal", 15: "date",
 }
 _STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
                 5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
@@ -309,5 +311,29 @@ def _decode_orc_column(
         row_lens = rle.decode(streams["LENGTH"], n_vals, signed=False)
         return stripe_mod._build_binary(
             np.frombuffer(streams["DATA"], np.uint8), row_lens, valid, n_rows, t
+        )
+    if tk == "decimal":
+        # DecimalTreeReader: DATA = unbounded zigzag-varint mantissa,
+        # SECONDARY = signed RLE per-value scale.  HiveDecimal strips
+        # trailing zeros, so a value's wire scale may be below the column
+        # scale; the reader rescales to the declared scale.
+        from ..kernels import bigdec
+
+        prec = type_pb.get(5, [38])[0]
+        scale = type_pb.get(6, [0])[0]
+        lo, hi = bigdec.decode(streams["DATA"], n_vals)
+        val_scales = rle.decode(streams["SECONDARY"], n_vals, signed=True)
+        if n_vals and not (val_scales == scale).all():
+            # rare path: exact Python-int rescale (oracle read, not hot)
+            out_lo = np.empty(n_vals, np.uint64)
+            out_hi = np.empty(n_vals, np.int64)
+            for i in range(n_vals):
+                v = (int(hi[i]) << 64) | int(lo[i])
+                v *= 10 ** (scale - int(val_scales[i]))
+                out_lo[i] = v & 0xFFFFFFFFFFFFFFFF
+                out_hi[i] = v >> 64
+            lo, hi = out_lo, out_hi
+        return stripe_mod._build_decimal_big(
+            lo, hi, valid, n_rows, pa.decimal128(prec, scale)
         )
     raise NotImplementedError(f"orcread: type {tk}")

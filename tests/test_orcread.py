@@ -189,3 +189,51 @@ def test_non_utc_writer_timezone_instants(spark, tmp_path):
     ref = spark.read.orc(out).toPandas()["ts"].sort_values().reset_index(drop=True)
     got_pd = got.to_pandas().sort_values().reset_index(drop=True)
     assert (got_pd == ref.astype("datetime64[us]")).all()
+
+
+def test_read_java_written_decimal(spark, tmp_path):
+    """Reference-written (orc-core DecimalTreeWriter) decimal(38,10) and
+    decimal(12,3) decoded by OUR bigdec kernels.  HiveDecimal strips
+    trailing zeros before serializing, so wire scales vary per value —
+    this exercises orcread's rescale-to-declared-scale path too."""
+    from decimal import Decimal
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    big_vals = [
+        None
+        if i % 11 == 0
+        else Decimal(int(h) * 10**14 + int(l)).scaleb(-10)
+        for i, (h, l) in enumerate(
+            zip(
+                rng.integers(-(10**13), 10**13, n),
+                # multiples of 1e4 make some values end in zeros -> the
+                # Java writer strips them to a smaller wire scale
+                rng.integers(0, 10**10, n) * 10**4,
+            )
+        )
+    ]
+    small_vals = [
+        None if i % 7 == 0 else Decimal(int(v) * (10 if i % 2 else 1)).scaleb(-3)
+        for i, v in enumerate(rng.integers(-(10**8), 10**8, n))
+    ]
+    t = pa.table(
+        {
+            "big": pa.array(big_vals, pa.decimal128(38, 10)),
+            "small": pa.array(small_vals, pa.decimal128(12, 3)),
+        }
+    )
+    sdf = spark.createDataFrame(t.to_pandas())
+    out = str(tmp_path / "jdec")
+    sdf.coalesce(1).write.mode("overwrite").option("compression", "zlib").orc(out)
+    (path,) = glob.glob(out + "/*.orc")
+    got = orcread.read_orc(path)
+    for name in ("big", "small"):
+        a = got[name].combine_chunks()
+        ref = pa.orc.ORCFile(path).read()[name].combine_chunks()
+        assert a.equals(ref), name
+        # Spark infers its own precision/scale from pandas (38,18), so
+        # compare numerically, not textually
+        assert sorted(a.drop_null().to_pylist()) == sorted(
+            t[name].combine_chunks().drop_null().to_pylist()
+        ), name
