@@ -112,7 +112,8 @@ def _f_packed(field: int, vals: list[int]) -> bytes:
 _KIND = {
     "bool": 0, "int32": 3, "int64": 4, "float": 5, "double": 6,
     "string": 7, "large_string": 7, "binary": 8, "large_binary": 8,
-    "timestamp": 9, "struct": 12, "decimal": 14, "date32[day]": 15,
+    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "decimal": 14,
+    "date32[day]": 15,
 }
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH, _STREAM_DICT = 0, 1, 2, 3
 _STREAM_SECONDARY, _STREAM_ROW_INDEX = 5, 6
@@ -147,6 +148,153 @@ def _decimal_words(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if not pa.types.is_decimal128(arr.type):
         arr = arr.cast(pa.decimal128(arr.type.precision, arr.type.scale))
     return stripe_mod._decimal_unscaled_words(arr)
+
+
+# --- nested type tree (pre-order column ids, per orc TypeDescription) -------
+
+
+def _is_nested(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_struct(t)
+        or pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_map(t)
+    )
+
+
+def _build_tree(t: pa.DataType, next_id: list[int]) -> dict:
+    """Tree node {id, t, children: [(field_name, node)]} with ids
+    assigned in pre-order — ORC's TypeDescription numbering."""
+    node = {"id": next_id[0], "t": t, "children": []}
+    next_id[0] += 1
+    if pa.types.is_struct(t):
+        for f in t:
+            node["children"].append((f.name, _build_tree(f.type, next_id)))
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        node["children"].append(("_elem", _build_tree(t.value_type, next_id)))
+    elif pa.types.is_map(t):
+        node["children"].append(("_key", _build_tree(t.key_type, next_id)))
+        node["children"].append(("_value", _build_tree(t.item_type, next_id)))
+    return node
+
+
+def _tree_type_pb(node: dict) -> bytes:
+    t = node["t"]
+    if pa.types.is_struct(t):
+        out = _f_varint(1, _KIND["struct"])
+        out += _f_packed(2, [c["id"] for _, c in node["children"]])
+        for name, _ in node["children"]:
+            out += _f_bytes(3, name.encode())
+        return out
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _f_varint(1, _KIND["list"]) + _f_packed(
+            2, [node["children"][0][1]["id"]]
+        )
+    if pa.types.is_map(t):
+        return _f_varint(1, _KIND["map"]) + _f_packed(
+            2, [c["id"] for _, c in node["children"]]
+        )
+    return _type_pb(t)
+
+
+def _tree_type_pbs(node: dict, out: list[bytes]) -> None:
+    out.append(_tree_type_pb(node))
+    for _, c in node["children"]:
+        _tree_type_pbs(c, out)
+
+
+def _combined(arr) -> pa.Array:
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _encode_tree(
+    node: dict, arr: pa.Array, v11: bool,
+    out: list[tuple[int, list[tuple[int, bytes]], bytes]],
+) -> None:
+    """Recursively encode ``arr`` under ``node``, appending
+    (column_id, streams, encoding_pb) in pre-order.  ORC nested nulls:
+    a child column holds entries only for slots where the parent is
+    present (StructTreeWriter/ListTreeWriter writeBatch semantics)."""
+    t = node["t"]
+    arr = _combined(arr)
+    if not _is_nested(t):
+        streams, enc = _encode_column(arr, v11)
+        out.append((node["id"], streams, enc))
+        return
+    rle = (lambda v: rlev1.encode(v, signed=False)) if v11 else (
+        lambda v: rlev2.encode(v, signed=False)
+    )
+    streams: list[tuple[int, bytes]] = []
+    if arr.null_count:
+        valid = arr.is_valid()
+        streams.append(
+            (_STREAM_PRESENT, bitfield.encode(valid.to_numpy(zero_copy_only=False)))
+        )
+    if pa.types.is_struct(t):
+        out.append((node["id"], streams, _f_varint(1, _ENC_DIRECT)))
+        for i, (_, child_node) in enumerate(node["children"]):
+            child = _combined(arr.field(i))
+            if arr.null_count:
+                child = child.filter(valid)
+            _encode_tree(child_node, child, v11, out)
+        return
+    # list / map: LENGTH stream of present slots, children flattened
+    nn = arr.drop_null() if arr.null_count else arr
+    if pa.types.is_map(t):
+        # MapArray.keys/.items ignore the slice window; .offsets is
+        # windowed — slice the children explicitly
+        offs = (
+            nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(1, np.int64)
+        )
+        lengths = np.diff(offs)
+        lo_e, hi_e = int(offs[0]), int(offs[-1])
+        children = [
+            nn.keys.slice(lo_e, hi_e - lo_e),
+            nn.items.slice(lo_e, hi_e - lo_e),
+        ]
+    else:
+        lengths = (
+            nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(0, np.int64)
+        )
+        children = [nn.flatten()]
+    streams.append((_STREAM_LENGTH, rle(lengths)))
+    out.append(
+        (node["id"], streams, _f_varint(1, _ENC_DIRECT if v11 else _ENC_DIRECT_V2))
+    )
+    for child, (_, child_node) in zip(children, node["children"]):
+        _encode_tree(child_node, child, v11, out)
+
+
+def _count_tree(node: dict, arr: pa.Array, counts: dict[int, tuple[int, bool]]) -> None:
+    """Per-column-id (non-null value count, has_null) for footer stats,
+    walking the same present-space the encoder writes."""
+    arr = _combined(arr)
+    counts[node["id"]] = (len(arr) - arr.null_count, arr.null_count > 0)
+    t = node["t"]
+    if pa.types.is_struct(t):
+        valid = arr.is_valid() if arr.null_count else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            child = _combined(arr.field(i))
+            if valid is not None:
+                child = child.filter(valid)
+            _count_tree(child_node, child, counts)
+    elif pa.types.is_map(t):
+        nn = arr.drop_null() if arr.null_count else arr
+        offs = (
+            nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(1, np.int64)
+        )
+        lo_e, hi_e = int(offs[0]), int(offs[-1])
+        _count_tree(node["children"][0][1], nn.keys.slice(lo_e, hi_e - lo_e), counts)
+        _count_tree(node["children"][1][1], nn.items.slice(lo_e, hi_e - lo_e), counts)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        nn = arr.drop_null() if arr.null_count else arr
+        _count_tree(node["children"][0][1], nn.flatten(), counts)
 
 
 def _encode_column(
@@ -447,6 +595,12 @@ def write_orc(
     if row_index_stride and row_index_stride % 8:
         raise ValueError("row_index_stride must be a multiple of 8")
     n_cols = table.num_columns
+    root_node = _build_tree(
+        pa.struct([table.schema.field(i) for i in range(n_cols)]), [0]
+    )
+    has_nested = any(_is_nested(t) for t in table.schema.types)
+    if has_nested and row_index_stride:
+        raise NotImplementedError("orcfile: row index over nested columns")
     out = bytearray(b"ORC")
     header_len = 3
     stripe_infos = []
@@ -502,16 +656,18 @@ def write_orc(
                     stream_meta.append((kind, i + 1, len(payload)))
                     data += payload
         else:
+            flat: list[tuple[int, list[tuple[int, bytes]], bytes]] = []
             for i in range(n_cols):
-                col = chunk.column(i)
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                streams, enc = _encode_column(col, v11)
-                encodings.append(enc)
+                _encode_tree(
+                    root_node["children"][i][1], chunk.column(i), v11, flat
+                )
+            # _encode_tree appends pre-order, which IS column-id order
+            for cid, streams, _ in flat:
                 for kind, blob in streams:
                     wrapped = _orc_compress(blob, compression)
-                    stream_meta.append((kind, i + 1, len(wrapped)))
+                    stream_meta.append((kind, cid, len(wrapped)))
                     data += wrapped
+            encodings += [enc for _, _, enc in flat]
         out += index
         out += data
         # StripeFooter: streams=1, columns(encodings)=2, writerTimezone=3
@@ -543,21 +699,17 @@ def write_orc(
             + _f_varint(5, nrows)
         )
         footer += _f_bytes(3, bytes(body))
-    # types: root struct then one per column
-    root = _f_varint(1, _KIND["struct"])
-    root += _f_packed(2, list(range(1, n_cols + 1)))
-    for name in table.schema.names:
-        root += _f_bytes(3, name.encode())
-    footer += _f_bytes(4, bytes(root))
-    for i in range(n_cols):
-        footer += _f_bytes(4, _type_pb(table.schema.types[i]))
+    # types in pre-order: root struct, then each column's subtree
+    type_pbs: list[bytes] = []
+    _tree_type_pbs(root_node, type_pbs)
+    for tp in type_pbs:
+        footer += _f_bytes(4, tp)
     footer += _f_varint(6, total_rows)
-    footer += _f_bytes(7, _min_stats(total_rows, False))  # root
+    counts: dict[int, tuple[int, bool]] = {0: (total_rows, False)}
     for i in range(n_cols):
-        col = table.column(i)
-        footer += _f_bytes(
-            7, _min_stats(total_rows - col.null_count, col.null_count > 0)
-        )
+        _count_tree(root_node["children"][i][1], table.column(i), counts)
+    for cid in range(len(type_pbs)):
+        footer += _f_bytes(7, _min_stats(*counts[cid]))
     footer += _f_varint(8, row_index_stride)
     footer_wrapped = _orc_compress(bytes(footer), compression)
     out += footer_wrapped

@@ -142,8 +142,8 @@ def _zstd_content_size(chunk) -> int:
 
 _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
-    6: "double", 7: "string", 8: "binary", 9: "timestamp", 12: "struct",
-    14: "decimal", 15: "date",
+    6: "double", 7: "string", 8: "binary", 9: "timestamp", 10: "list",
+    11: "map", 12: "struct", 14: "decimal", 15: "date",
 }
 _STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
                 5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
@@ -209,18 +209,75 @@ def read_orc(path: str) -> pa.Table:
                 )
             pos += ln
         for i, type_id in enumerate(subtypes):
-            arr = _decode_orc_column(
-                types[type_id],
-                per_col.get(type_id, {}),
-                encodings[type_id],
-                st["n_rows"],
-                writer_tz,
+            arr = _decode_tree(
+                type_id, types, per_col, encodings, st["n_rows"], writer_tz
             )
             col_chunks[i].append(arr)
 
     cols = [pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
             for chunks in (col_chunks[i] for i in range(len(names)))]
     return pa.table(dict(zip(names, cols)))
+
+
+def _decode_tree(
+    type_id: int, types: list[dict], per_col: dict, encodings: list[dict],
+    n_rows: int, writer_tz: str,
+) -> pa.Array:
+    """Recursive column decode over the pre-order type tree.  Nested
+    nulls per the ORC model (StructTreeReader/ListTreeReader): a child
+    stream holds entries only for slots where the parent is present, so
+    each level re-expands its children through its own PRESENT bits."""
+    type_pb = types[type_id]
+    tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
+    if tk not in ("struct", "list", "map"):
+        return _decode_orc_column(
+            type_pb, per_col.get(type_id, {}), encodings[type_id], n_rows,
+            writer_tz,
+        )
+    streams = per_col.get(type_id, {})
+    enc_kind = encodings[type_id].get(1, [0])[0]
+    rle = rlev1 if enc_kind in (0, 1) else rlev2
+    valid = None
+    n_vals = n_rows
+    if "PRESENT" in streams:
+        valid = bitfield.decode(streams["PRESENT"], n_rows)
+        n_vals = int(valid.sum())
+        if n_vals == n_rows:
+            valid = None
+    subtypes = _packed_varints(type_pb[2][0]) if 2 in type_pb else []
+
+    def child(sid: int, n: int) -> pa.Array:
+        return _decode_tree(sid, types, per_col, encodings, n, writer_tz)
+
+    if tk == "struct":
+        names = [bytes(b).decode() for b in type_pb.get(3, [])]
+        kids = [child(sid, n_vals) for sid in subtypes]
+        if valid is not None:
+            # inflate to n_rows: parent-null slots become null children
+            idx = np.zeros(n_rows, np.int64)
+            idx[valid] = np.arange(n_vals)
+            take_idx = pa.array(idx, pa.int64(), mask=~valid)
+            kids = [k.take(take_idx) for k in kids]
+            return pa.StructArray.from_arrays(kids, names, mask=pa.array(~valid))
+        return pa.StructArray.from_arrays(kids, names)
+    lengths = rle.decode(streams["LENGTH"], n_vals, signed=False)
+    total = int(lengths.sum())
+    if valid is None:
+        off_arr = pa.array(
+            np.concatenate(([0], np.cumsum(lengths))).astype(np.int32), pa.int32()
+        )
+    else:
+        full_len = np.zeros(n_rows, np.int64)
+        full_len[valid] = lengths
+        offs = np.concatenate(([0], np.cumsum(full_len))).astype(np.int32)
+        off_arr = pa.array(
+            offs, pa.int32(), mask=np.concatenate((~valid, [False]))
+        )
+    if tk == "list":
+        return pa.ListArray.from_arrays(off_arr, child(subtypes[0], total))
+    return pa.MapArray.from_arrays(
+        off_arr, child(subtypes[0], total), child(subtypes[1], total)
+    )
 
 
 def _decode_orc_column(

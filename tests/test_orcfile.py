@@ -412,3 +412,102 @@ def test_decimal_spark_java_reader_cross_read(spark, tmp_path):
             (str(v) for v in gp[col].dropna()),
         ) == sorted(str(v) for v in ep[col].dropna()), col
         assert gp[col].isna().sum() == ep[col].isna().sum(), col
+
+
+def _nested_table(n=4000):
+    tags = [None if i % 13 == 0 else [f"t{j}" for j in range(i % 5)] for i in range(n)]
+    pt = [
+        {"x": float(i), "y": None if i % 7 == 0 else i * 2} if i % 11 else None
+        for i in range(n)
+    ]
+    mp = [
+        None if i % 17 == 0 else [(f"k{j}", j * i) for j in range(i % 4)]
+        for i in range(n)
+    ]
+    deep = [
+        None if i % 19 == 0 else {"a": [i, None, i + 1], "b": {"c": f"s{i % 9}"}}
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "tags": pa.array(tags, pa.list_(pa.string())),
+            "pt": pa.array(pt, pa.struct([("x", pa.float64()), ("y", pa.int64())])),
+            "m": pa.array(mp, pa.map_(pa.string(), pa.int64())),
+            "deep": pa.array(
+                deep,
+                pa.struct(
+                    [("a", pa.list_(pa.int64())), ("b", pa.struct([("c", pa.string())]))]
+                ),
+            ),
+            "k": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("comp", ["NONE", "ZLIB", "ZSTD"])
+def test_nested_cross_read(tmp_path, comp):
+    """list / struct / map / struct-in-struct columns with nulls at every
+    level: pre-order column-id tree, per-level PRESENT + LENGTH streams
+    (StructTreeWriter/ListTreeWriter/MapTreeWriter semantics), read back
+    by pyarrow's C++ ORC reader and our own orcread kernels."""
+    t = _nested_table()
+    path = str(tmp_path / f"nested_{comp}.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=1500, compression=comp)
+    got = pa.orc.ORCFile(path).read()
+    for name in t.schema.names:
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+    from sparc.engine import orcread
+
+    ours = orcread.read_orc(path)
+    for name in t.schema.names:
+        a = ours[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+
+
+def test_nested_v011_cross_read(tmp_path):
+    t = _nested_table(n=2000)
+    path = str(tmp_path / "nested_v11.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=900, version="0.11")
+    got = pa.orc.ORCFile(path).read()
+    for name in t.schema.names:
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
+
+
+def test_nested_spark_java_reader_cross_read(spark, tmp_path):
+    """The reference Java reader traverses our nested column-id tree."""
+    t = _nested_table(n=3000)
+    path = str(tmp_path / "nested_spark.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=1200, compression="ZLIB")
+    df = spark.read.orc(path)
+    assert df.count() == 3000
+    rows = df.orderBy("k").collect()
+    exp = t.to_pylist()
+    for r, e in zip(rows, exp):
+        assert r["k"] == e["k"]
+        assert r["tags"] == e["tags"]
+        assert (r["pt"] is None) == (e["pt"] is None)
+        if e["pt"] is not None:
+            assert r["pt"]["x"] == e["pt"]["x"] and r["pt"]["y"] == e["pt"]["y"]
+        em = None if e["m"] is None else dict(e["m"])
+        assert r["m"] == em
+        assert (r["deep"] is None) == (e["deep"] is None)
+        if e["deep"] is not None:
+            assert r["deep"]["a"] == e["deep"]["a"]
+            assert r["deep"]["b"]["c"] == e["deep"]["b"]["c"]
+
+
+def test_nested_row_index_unsupported(tmp_path):
+    t = _nested_table(n=100)
+    with pytest.raises(NotImplementedError):
+        orcfile.write_orc(t, str(tmp_path / "x.orc"), row_index_stride=1000)

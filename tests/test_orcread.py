@@ -237,3 +237,47 @@ def test_read_java_written_decimal(spark, tmp_path):
         assert sorted(a.drop_null().to_pylist()) == sorted(
             t[name].combine_chunks().drop_null().to_pylist()
         ), name
+
+
+def test_read_java_written_nested(spark, tmp_path):
+    """Reference-written (orc-core Struct/List/MapTreeWriter) nested
+    columns decoded by OUR kernels via the recursive type-tree walk."""
+    n = 2500
+    rows = [
+        {
+            "k": i,
+            "tags": None if i % 13 == 0 else [f"t{j}" for j in range(i % 5)],
+            "pt": None if i % 11 == 0 else {"x": float(i), "y": None if i % 7 == 0 else i * 2},
+            "m": None if i % 17 == 0 else {f"k{j}": j * i for j in range(i % 4)},
+        }
+        for i in range(n)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "pt",
+                T.StructType(
+                    [T.StructField("x", T.DoubleType()), T.StructField("y", T.LongType())]
+                ),
+            ),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    out = str(tmp_path / "jnested")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").option(
+        "compression", "zlib"
+    ).orc(out)
+    (path,) = glob.glob(out + "/*.orc")
+    got = orcread.read_orc(path)
+    ref = pa.orc.ORCFile(path).read()
+    assert got.num_rows == n
+    for name in ref.schema.names:
+        a = got[name].combine_chunks()
+        b = ref[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
