@@ -14,10 +14,14 @@ Scope (deliberately minimal — an oracle, not the product sink):
 - compression NONE / ZLIB / SNAPPY / ZSTD (the reference's
   3-byte-header chunk framing, store-original-if-bigger)
 - file versions 0.12 (RLEv2) and legacy 0.11 (RLEv1)
-- flat struct schema of: int32/int64, double/float, string (dict or
-  direct), binary, bool, date32, timestamp[us] (writerTimezone UTC),
-  decimal up to (38, s) — unbounded zigzag-varint mantissa + signed RLE
-  scale stream, ``DecimalTreeWriter`` semantics
+- leaf types: int32/int64, double/float, string (dict or direct),
+  binary, bool, date32, timestamp[us] (writerTimezone UTC; both file
+  versions), decimal up to (38, s) — unbounded zigzag-varint mantissa +
+  signed RLE scale stream, ``DecimalTreeWriter`` semantics
+- nested types: list / map / struct / dense+sparse union to any depth —
+  pre-order column-id tree with per-level PRESENT + LENGTH / byte-RLE
+  TAG streams (Struct/List/Map/UnionTreeWriter semantics); the row-index
+  path stays flat-only
 - nullable columns via PRESENT streams
 - optional ROW_INDEX streams (``row_index_stride > 0``): per-group seek
   positions + IntegerStatistics; the reference Java reader demonstrably
@@ -112,8 +116,8 @@ def _f_packed(field: int, vals: list[int]) -> bytes:
 _KIND = {
     "bool": 0, "int32": 3, "int64": 4, "float": 5, "double": 6,
     "string": 7, "large_string": 7, "binary": 8, "large_binary": 8,
-    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "decimal": 14,
-    "date32[day]": 15,
+    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "union": 13,
+    "decimal": 14, "date32[day]": 15,
 }
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH, _STREAM_DICT = 0, 1, 2, 3
 _STREAM_SECONDARY, _STREAM_ROW_INDEX = 5, 6
@@ -159,6 +163,7 @@ def _is_nested(t: pa.DataType) -> bool:
         or pa.types.is_list(t)
         or pa.types.is_large_list(t)
         or pa.types.is_map(t)
+        or pa.types.is_union(t)
     )
 
 
@@ -167,7 +172,7 @@ def _build_tree(t: pa.DataType, next_id: list[int]) -> dict:
     assigned in pre-order — ORC's TypeDescription numbering."""
     node = {"id": next_id[0], "t": t, "children": []}
     next_id[0] += 1
-    if pa.types.is_struct(t):
+    if pa.types.is_struct(t) or pa.types.is_union(t):
         for f in t:
             node["children"].append((f.name, _build_tree(f.type, next_id)))
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -192,6 +197,10 @@ def _tree_type_pb(node: dict) -> bytes:
         )
     if pa.types.is_map(t):
         return _f_varint(1, _KIND["map"]) + _f_packed(
+            2, [c["id"] for _, c in node["children"]]
+        )
+    if pa.types.is_union(t):
+        return _f_varint(1, _KIND["union"]) + _f_packed(
             2, [c["id"] for _, c in node["children"]]
         )
     return _type_pb(t)
@@ -238,6 +247,27 @@ def _encode_tree(
                 child = child.filter(valid)
             _encode_tree(child_node, child, v11, out)
         return
+    if pa.types.is_union(t):
+        # UnionTreeWriter: DATA = byte-RLE tags; each variant's values
+        # follow in row order.  Arrow unions carry no top-level validity,
+        # so there is never a PRESENT stream here.
+        from ..kernels import byterle
+
+        codes = arr.type_codes.to_numpy(zero_copy_only=False)
+        lut = np.zeros(128, np.uint8)
+        for i, c in enumerate(t.type_codes):
+            lut[c] = i
+        tags = lut[codes]
+        streams.append((_STREAM_DATA, byterle.encode(tags)))
+        out.append((node["id"], streams, _f_varint(1, _ENC_DIRECT)))
+        dense = t.mode == "dense"
+        offs = arr.offsets.to_numpy(zero_copy_only=False) if dense else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            rows = np.flatnonzero(tags == i)
+            take = offs[rows] if dense else rows
+            child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
+            _encode_tree(child_node, child, v11, out)
+        return
     # list / map: LENGTH stream of present slots, children flattened
     nn = arr.drop_null() if arr.null_count else arr
     if pa.types.is_map(t):
@@ -282,6 +312,19 @@ def _count_tree(node: dict, arr: pa.Array, counts: dict[int, tuple[int, bool]]) 
             if valid is not None:
                 child = child.filter(valid)
             _count_tree(child_node, child, counts)
+    elif pa.types.is_union(t):
+        codes = arr.type_codes.to_numpy(zero_copy_only=False)
+        lut = np.zeros(128, np.uint8)
+        for i, c in enumerate(t.type_codes):
+            lut[c] = i
+        tags = lut[codes]
+        dense = t.mode == "dense"
+        offs = arr.offsets.to_numpy(zero_copy_only=False) if dense else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            rows = np.flatnonzero(tags == i)
+            take = offs[rows] if dense else rows
+            child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
+            _count_tree(child_node, child, counts)
     elif pa.types.is_map(t):
         nn = arr.drop_null() if arr.null_count else arr
         offs = (
@@ -320,15 +363,15 @@ def _encode_column(
         vals = stripe_mod._arrow_nonnull_int64(arr)
         streams.append((_STREAM_DATA, rle(vals, True)))
     elif pa.types.is_timestamp(t):
-        if v11:
-            raise NotImplementedError("orcfile v0.11: timestamp unsupported")
+        # same 2015-epoch split in every file version; only the integer
+        # coder changes (RLEv1 in 0.11, RLEv2 in 0.12)
         unit_scale = stripe_mod._TS_UNITS[t.unit]
         vals = stripe_mod._arrow_nonnull_int64(arr)
         seconds = np.floor_divide(vals, unit_scale) - stripe_mod.TS_BASE_SECONDS
         frac = np.mod(vals, unit_scale)
         nanos = stripe_mod.format_nanos(frac * (1_000_000_000 // unit_scale))
-        streams.append((_STREAM_DATA, rlev2.encode(seconds, signed=True)))
-        streams.append((_STREAM_SECONDARY, rlev2.encode(nanos, signed=False)))
+        streams.append((_STREAM_DATA, rle(seconds, True)))
+        streams.append((_STREAM_SECONDARY, rle(nanos, False)))
     elif pa.types.is_decimal(t):
         # DecimalTreeWriter: DATA = unbounded zigzag-varint mantissa
         # (SerializationUtils.writeBigInteger), SECONDARY = *signed* RLE
@@ -469,8 +512,6 @@ def _encode_column_grouped(
             for g, (lo, hi) in enumerate(bounds)
         ]
     elif pa.types.is_timestamp(t):
-        if v11:
-            raise NotImplementedError("orcfile v0.11: timestamp unsupported")
         unit_scale = stripe_mod._TS_UNITS[t.unit]
         vals = stripe_mod._arrow_nonnull_int64(arr)
         seconds = np.floor_divide(vals, unit_scale) - stripe_mod.TS_BASE_SECONDS

@@ -5,8 +5,9 @@ decoders reconstruct it.  Together with ``orcfile`` (our writer → their
 readers) this closes the loop on wire-format conformance.
 
 Scope (an oracle, not the product read path): compression NONE / ZLIB /
-SNAPPY / ZSTD, flat struct schema of int8..int64, date32, double/float,
-bool, string (DIRECT / DICTIONARY v1 *and* DIRECT_V2 / DICTIONARY_V2 —
+SNAPPY / ZSTD, schemas of int8..int64, date32, double/float,
+bool, nested list / map / struct / union to any depth (recursive
+type-tree walk), string (DIRECT / DICTIONARY v1 *and* DIRECT_V2 / DICTIONARY_V2 —
 the ColumnEncoding kind selects RLEv1 vs RLEv2 per stream, mirroring
 TreeReaderFactory's reader-version dispatch), binary, timestamp
 (any IANA writerTimezone — wall-clock semantics matching the reference
@@ -143,7 +144,7 @@ def _zstd_content_size(chunk) -> int:
 _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
     6: "double", 7: "string", 8: "binary", 9: "timestamp", 10: "list",
-    11: "map", 12: "struct", 14: "decimal", 15: "date",
+    11: "map", 12: "struct", 13: "union", 14: "decimal", 15: "date",
 }
 _STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
                 5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
@@ -229,7 +230,7 @@ def _decode_tree(
     each level re-expands its children through its own PRESENT bits."""
     type_pb = types[type_id]
     tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
-    if tk not in ("struct", "list", "map"):
+    if tk not in ("struct", "list", "map", "union"):
         return _decode_orc_column(
             type_pb, per_col.get(type_id, {}), encodings[type_id], n_rows,
             writer_tz,
@@ -249,6 +250,26 @@ def _decode_tree(
     def child(sid: int, n: int) -> pa.Array:
         return _decode_tree(sid, types, per_col, encodings, n, writer_tz)
 
+    if tk == "union":
+        # UnionTreeReader: DATA = byte-RLE tags; variant values follow in
+        # row order.  Arrow unions cannot carry top-level nulls, so a
+        # PRESENT-bearing union (Hive can write one) has no lossless
+        # Arrow image — refuse rather than guess.
+        if valid is not None:
+            raise NotImplementedError("orcread: union with nulls")
+        from ..kernels import byterle
+
+        tags = byterle.decode(streams["DATA"], n_rows).astype(np.int8)
+        offsets = np.zeros(n_rows, np.int32)
+        kids = []
+        for i, sid in enumerate(subtypes):
+            mask = tags == i
+            cnt = int(mask.sum())
+            kids.append(child(sid, cnt))
+            offsets[mask] = np.arange(cnt, dtype=np.int32)
+        return pa.UnionArray.from_dense(
+            pa.array(tags, pa.int8()), pa.array(offsets, pa.int32()), kids
+        )
     if tk == "struct":
         names = [bytes(b).decode() for b in type_pb.get(3, [])]
         kids = [child(sid, n_vals) for sid in subtypes]

@@ -157,13 +157,22 @@ def test_v011_rlev1_cross_read(tmp_path):
             "nul": pa.array(
                 [None if i % 5 == 0 else i for i in range(n)], pa.int64()
             ),
+            # v0.11 timestamps: same 2015-epoch split, RLEv1 coders
+            "ts": pa.array(
+                1_600_000_000_000_000 + rng.integers(-(10**15), 10**10, n),
+                pa.timestamp("us"),
+            ),
         }
     )
     orcfile.write_orc(t, str(tmp_path / "v11.orc"), rows_per_stripe=4000,
                       version="0.11")
     got = pa.orc.ORCFile(str(tmp_path / "v11.orc")).read()
     for name in t.schema.names:
-        assert got[name].combine_chunks().equals(t[name].combine_chunks()), name
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b), name
 
 
 def test_rlev1_kernel_roundtrip():
@@ -511,3 +520,53 @@ def test_nested_row_index_unsupported(tmp_path):
     t = _nested_table(n=100)
     with pytest.raises(NotImplementedError):
         orcfile.write_orc(t, str(tmp_path / "x.orc"), row_index_stride=1000)
+
+
+def test_union_cross_read(tmp_path):
+    """ORC UNION (kind 13): byte-RLE TAG stream + per-variant children in
+    row order (UnionTreeWriter semantics).  No reference *producer*
+    exists in this stack (Spark has no union type), so our writer IS the
+    producer and the C++ reader + our own kernels are the two consumers."""
+    rng = np.random.default_rng(21)
+    n = 3000
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    offs = np.zeros(n, np.int32)
+    for v in (0, 1):
+        m = tags == v
+        offs[m] = np.arange(m.sum(), dtype=np.int32)
+    ints = pa.array(rng.integers(-(10**9), 10**9, int((tags == 0).sum())), pa.int64())
+    strs = pa.array([f"u{i % 13}" for i in range(int((tags == 1).sum()))])
+    u = pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()), pa.array(offs, pa.int32()), [ints, strs], ["i", "s"]
+    )
+    t = pa.table({"u": u, "k": pa.array(np.arange(n), pa.int64())})
+    for comp in ("NONE", "ZLIB"):
+        p = str(tmp_path / f"u_{comp}.orc")
+        orcfile.write_orc(t, p, rows_per_stripe=1100, compression=comp)
+        got = pa.orc.ORCFile(p).read()  # C++ reader represents it sparse
+        assert got["u"].combine_chunks().to_pylist() == u.to_pylist(), comp
+        assert got["k"].combine_chunks().equals(t["k"].combine_chunks())
+        from sparc.engine import orcread
+
+        ours = orcread.read_orc(p)  # our kernels rebuild it dense
+        assert ours["u"].combine_chunks().to_pylist() == u.to_pylist(), comp
+
+
+def test_union_sparse_input_cross_read(tmp_path):
+    """Arrow sparse-mode unions normalize through the same row-order
+    per-variant take."""
+    rng = np.random.default_rng(22)
+    n = 1500
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    su = pa.UnionArray.from_sparse(
+        pa.array(tags, pa.int8()),
+        [
+            pa.array(rng.integers(0, 99, n), pa.int64()),
+            pa.array([f"s{i % 7}" for i in range(n)]),
+        ],
+    )
+    t = pa.table({"u": su})
+    p = str(tmp_path / "u_sparse.orc")
+    orcfile.write_orc(t, p, rows_per_stripe=700)
+    got = pa.orc.ORCFile(p).read()
+    assert got["u"].combine_chunks().to_pylist() == [v.as_py() for v in su]
