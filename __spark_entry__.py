@@ -858,6 +858,68 @@ _ORC_CROSSREAD_SQL = (
 )
 
 
+def _orc_nested_crossread(spark, sf_dir):
+    """Nested + unbounded-decimal cross-read gate: partitions write REAL
+    ORC files carrying an array<float> column, a struct column and a
+    decimal(38,10) column whose mantissas exceed 64 bits, through the
+    engine's pre-order type-tree writer (sparc.engine.orcfile —
+    List/Struct/DecimalTreeWriter semantics, bigdec varint mantissas);
+    the reference Java reader reads them back; mismatches must be 0."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    src = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                F.col("label").alias("label"),
+                (F.col("vec_id") % 7).alias("bucket"),
+            ).alias("meta"),
+            # mantissa = vec_id * 1.23e20 at scale 10 — always > 2^63,
+            # so every row takes the unbounded-mantissa path
+            (
+                F.col("vec_id").cast("decimal(28,10)")
+                * F.lit("12345678901.0123456789").cast("decimal(28,10)")
+            ).cast("decimal(38,10)").alias("amount"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="sparc_orcnx_")
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from sparc.engine import orcfile
+
+        got = list(batches)
+        if not got:
+            return
+        t = pa.Table.from_batches(got)
+        pid = TaskContext.get().partitionId()
+        orcfile.write_orc(t, os.path.join(out_dir, f"part-{pid:05d}.orc"))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([t.num_rows], pa.int64())], names=["n"]
+        )
+
+    n_written = (
+        src.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
+    )
+    back = spark.read.orc(out_dir).select(*src.columns)
+    n_mismatch = _count_mismatches(src, back)
+    return spark.createDataFrame(
+        [(int(n_written), int(n_mismatch))], "n_rows long, n_mismatch long"
+    )
+
+
+_ORC_NESTED_CROSSREAD_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch "
+    "FROM embeddings"
+)
+
+
 def _schema_evolution_documents(spark, sf_dir):
     """Reader-schema mapping end-to-end: encode documents, decode with a
     reader schema that reorders, widens (n_chars long->double), drops
@@ -955,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowgroup_prune_events": _rowgroup_prune_events,
         "schema_evolution_documents": _schema_evolution_documents,
         "orc_crossread_documents": _orc_crossread_documents,
+        "orc_nested_crossread": _orc_nested_crossread,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -997,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "rowgroup_prune_events": _rowgroup_prune_sql(),
         "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
         "orc_crossread_documents": _ORC_CROSSREAD_SQL,
+        "orc_nested_crossread": _ORC_NESTED_CROSSREAD_SQL,
         "text_profile": _text_profile_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
