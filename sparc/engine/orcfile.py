@@ -185,6 +185,13 @@ def _build_tree(t: pa.DataType, next_id: list[int]) -> dict:
 
 def _tree_type_pb(node: dict) -> bytes:
     t = node["t"]
+    if "orc_override" in node:
+        # CHAR/VARCHAR: string streams + a typed maximumLength (Type
+        # proto field 4); write-time pad/truncate enforcement lives in
+        # sparc.ops.mask
+        kind_name, maxlen = node["orc_override"]
+        kind = 17 if kind_name == "char" else 16
+        return _f_varint(1, kind) + _f_varint(4, maxlen)
     if pa.types.is_struct(t):
         out = _f_varint(1, _KIND["struct"])
         out += _f_packed(2, [c["id"] for _, c in node["children"]])
@@ -619,6 +626,7 @@ def write_orc(
     table: pa.Table, path: str, rows_per_stripe: int = 100_000,
     version: str = "0.12", compression: str = "NONE",
     row_index_stride: int = 0,
+    type_overrides: dict[str, tuple[str, int]] | None = None,
 ) -> None:
     """Write ``table`` (flat schema) as an ORC file at ``path``.
 
@@ -639,6 +647,13 @@ def write_orc(
     root_node = _build_tree(
         pa.struct([table.schema.field(i) for i in range(n_cols)]), [0]
     )
+    for name, (kind_name, maxlen) in (type_overrides or {}).items():
+        (node,) = [c for cn, c in root_node["children"] if cn == name]
+        if kind_name not in ("char", "varchar") or not (
+            pa.types.is_string(node["t"]) or pa.types.is_large_string(node["t"])
+        ):
+            raise ValueError(f"type_overrides: {name} must be a string column")
+        node["orc_override"] = (kind_name, maxlen)
     has_nested = any(_is_nested(t) for t in table.schema.types)
     if has_nested and row_index_stride:
         raise NotImplementedError("orcfile: row index over nested columns")

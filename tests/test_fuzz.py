@@ -93,3 +93,66 @@ def test_stripe_roundtrip_fuzz(ints, texts):
     )
     streams, footer = stripe.encode_stripe(t, row_index_stride=64)
     assert stripe.decode_stripe(streams, footer).equals(t)
+
+
+# --- nested ORC writer fuzz: random schemas/values -> pyarrow C++ read ------
+
+_leaf_st = st.sampled_from(["int64", "string", "float64", "bool"])
+
+
+def _leaf_values(kind, n, draw):
+    if kind == "int64":
+        return [None if draw(st.booleans()) and i % 5 == 0 else draw(small_ints)
+                for i in range(n)]
+    if kind == "float64":
+        return [draw(st.floats(allow_nan=False, width=32)) for _ in range(n)]
+    if kind == "bool":
+        return [draw(st.booleans()) for _ in range(n)]
+    return [None if i % 7 == 3 else draw(st.text(max_size=8)) for i in range(n)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_orcfile_nested_fuzz(data):
+    """Random list/struct/map-of-leaf tables (with nulls at both levels)
+    must cross-read bit-identically through the C++ ORC reader."""
+    import pyarrow as pa
+    import pyarrow.orc
+    import tempfile, os
+
+    from sparc.engine import orcfile
+
+    draw = data.draw
+    n = draw(st.integers(min_value=0, max_value=60))
+    shape = draw(st.sampled_from(["list", "struct", "map", "list_struct"]))
+    leaf = draw(_leaf_st)
+    pa_leaf = {"int64": pa.int64(), "string": pa.string(),
+               "float64": pa.float64(), "bool": pa.bool_()}[leaf]
+    if shape == "list":
+        vals = [None if i % 9 == 4 else
+                _leaf_values(leaf, i % 4, draw) for i in range(n)]
+        arr = pa.array(vals, pa.list_(pa_leaf))
+    elif shape == "struct":
+        vals = [None if i % 9 == 4 else
+                {"a": _leaf_values(leaf, 1, draw)[0]} for i in range(n)]
+        arr = pa.array(vals, pa.struct([("a", pa_leaf)]))
+    elif shape == "map":
+        vals = [None if i % 9 == 4 else
+                [(f"k{j}", _leaf_values(leaf, 1, draw)[0]) for j in range(i % 3)]
+                for i in range(n)]
+        arr = pa.array(vals, pa.map_(pa.string(), pa_leaf))
+    else:
+        vals = [None if i % 9 == 4 else
+                [{"a": _leaf_values(leaf, 1, draw)[0]} for _ in range(i % 3)]
+                for i in range(n)]
+        arr = pa.array(vals, pa.list_(pa.struct([("a", pa_leaf)])))
+    t = pa.table({"x": arr})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.orc")
+        orcfile.write_orc(t, p, rows_per_stripe=max(n // 2, 1))
+        got = pa.orc.ORCFile(p).read()
+        a = got["x"].combine_chunks()
+        b = t["x"].combine_chunks()
+        if a.type != b.type:
+            b = b.cast(a.type)
+        assert a.equals(b)

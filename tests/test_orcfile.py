@@ -570,3 +570,41 @@ def test_union_sparse_input_cross_read(tmp_path):
     orcfile.write_orc(t, p, rows_per_stripe=700)
     got = pa.orc.ORCFile(p).read()
     assert got["u"].combine_chunks().to_pylist() == [v.as_py() for v in su]
+
+
+def test_char_varchar_type_overrides(tmp_path, spark):
+    """CHAR(n)/VARCHAR(n) wire types (Type proto kinds 17/16 +
+    maximumLength) over string streams; write-time pad/truncate
+    enforcement is sparc.ops.mask's job.  Both reference readers accept
+    the typed file and return the stored (padded) values."""
+    vals_c = ["ab ", "cde", "f  ", "xy "]
+    vals_v = ["a", "bcdef", "gh", ""]
+    t = pa.table({"c": pa.array(vals_c), "v": pa.array(vals_v)})
+    path = str(tmp_path / "cv.orc")
+    orcfile.write_orc(
+        t, path, type_overrides={"c": ("char", 3), "v": ("varchar", 5)}
+    )
+    # the footer really carries the typed kinds + maximumLength
+    from sparc.engine import orcread
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    ps = orcread._parse_pb(data[-1 - data[-1] : -1])
+    footer = orcread._parse_pb(data[-1 - data[-1] - ps[1][0] : -1 - data[-1]])
+    kinds = [
+        (orcread._parse_pb(x).get(1, [0])[0], orcread._parse_pb(x).get(4, [None])[0])
+        for x in footer[4]
+    ]
+    assert kinds[1:] == [(17, 3), (16, 5)]
+    got = pa.orc.ORCFile(path).read()
+    assert got["c"].combine_chunks().to_pylist() == vals_c
+    assert got["v"].combine_chunks().to_pylist() == vals_v
+    sdf = spark.read.orc(path)
+    rows = {r["c"]: r["v"] for r in sdf.collect()}
+    assert rows == dict(zip(vals_c, vals_v))
+    with pytest.raises(ValueError):
+        orcfile.write_orc(
+            pa.table({"i": pa.array([1], pa.int64())}),
+            str(tmp_path / "bad.orc"),
+            type_overrides={"i": ("char", 3)},
+        )
