@@ -127,3 +127,102 @@ def test_retried_batch_no_duplicates(spark, tmp_path):
     assert sorted(encode_job.completed_stripes(spark, out)) == stripes_first
     dec = decode_job.run_decode(spark, out)
     assert dec.count() == 3000  # no duplicate rows
+
+
+def _drop_docs(files_dir: str, name: str, rows: list[tuple[str, str]]) -> None:
+    """rows = [(text, iso_ts)] parquet drop for the dedup streams."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "text": [r[0] for r in rows],
+            "warc_ts": pd.to_datetime([r[1] for r in rows]),
+        }
+    )
+    # Spark's declared 'timestamp' type is microseconds
+    df.to_parquet(os.path.join(files_dir, name), coerce_timestamps="us")
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Exact streaming dedup with bounded state: re-crawled duplicates
+    inside the watermark window are dropped; the survivor count matches
+    a batch distinct-count oracle."""
+    from sparc.streaming import dedup as sdedup
+
+    files_dir = str(tmp_path / "landing")
+    os.makedirs(files_dir)
+    rows = [
+        ("alpha", "2026-01-01 10:00:00"),
+        ("beta", "2026-01-01 10:01:00"),
+        ("alpha", "2026-01-01 10:02:00"),   # dup inside watermark
+        ("gamma", "2026-01-01 10:03:00"),
+        ("beta", "2026-01-01 10:04:00"),    # dup inside watermark
+    ]
+    _drop_docs(files_dir, "d1.parquet", rows)
+    stream = spark.readStream.schema("text string, warc_ts timestamp").parquet(
+        files_dir
+    )
+    deduped = sdedup.dedup_within_watermark(
+        sdedup.with_content_key(stream), watermark="30 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text FROM dedup_stream").collect()
+    assert sorted(r["text"] for r in got) == ["alpha", "beta", "gamma"]
+
+
+def test_stream_dup_counts_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key seen
+    counts survive across micro-batches through the state store."""
+    from sparc.streaming import dedup as sdedup
+
+    files_dir = str(tmp_path / "landing")
+    os.makedirs(files_dir)
+    _drop_docs(
+        files_dir,
+        "d1.parquet",
+        [
+            ("alpha", "2026-01-01 10:00:00"),
+            ("alpha", "2026-01-01 10:01:00"),
+            ("beta", "2026-01-01 10:02:00"),
+        ],
+    )
+    stream = spark.readStream.schema("text string, warc_ts timestamp").parquet(
+        files_dir
+    )
+    counts = sdedup.dup_counts_stateful(
+        sdedup.with_content_key(stream), watermark="10 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("dup_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: alpha re-appears -> count must carry over via state
+        _drop_docs(files_dir, "d2.parquet", [("alpha", "2026-01-01 10:05:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import hashlib
+
+    alpha_key = hashlib.sha256(b"alpha").hexdigest()
+    beta_key = hashlib.sha256(b"beta").hexdigest()
+    rows = spark.sql(
+        "SELECT content_key, max(n_seen) AS n FROM dup_counts GROUP BY 1"
+    ).collect()
+    got = {r["content_key"]: r["n"] for r in rows}
+    assert got[alpha_key] == 3   # 2 in batch 1 + 1 in batch 2 (state carried)
+    assert got[beta_key] == 1
