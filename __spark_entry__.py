@@ -508,6 +508,37 @@ _LSH_RECALL_SQL = (
 )
 
 
+def _ivf_recall(spark, sf_dir):
+    """Measured recall@5 of IVF in its APPROXIMATE mode (nprobe <
+    nlist, i.e. real list-skipping) against the exact cosine top-k —
+    the checkable quantity for the approximate path, complementing
+    ``ivf_topk`` which value-checks the machinery at nprobe == nlist.
+    The synthetic corpus is near-uniform (the hardest case for a coarse
+    quantizer); probing 6 of 8 lists measures 0.92 at sf0.001 and
+    sf0.01.  Oracle: the constant-form contract "recall >= 0.8"."""
+    from sparc.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "corpus_id")
+    ann = similarity.ivf_topk(
+        emb, q, k=5, nlist=8, nprobe=6, iters=2
+    ).select("query_id", "corpus_id")
+    hits = exact.join(ann, ["query_id", "corpus_id"]).count()
+    total = exact.count()
+    recall = hits / max(total, 1)
+    return spark.createDataFrame(
+        [(5, total // 5, bool(recall >= 0.8))],
+        "k long, n_queries long, recall_ge_080 boolean",
+    )
+
+
+_IVF_RECALL_SQL = (
+    "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, "
+    "CAST(TRUE AS BOOLEAN) AS recall_ge_080"
+)
+
+
 def _ivf_topk(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer + inverted-list probe).  Run
     with nprobe == nlist, where IVF is provably exact — so the same
@@ -1029,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "lsh_recall": _lsh_recall,
         "ivf_topk": _ivf_topk,
+        "ivf_recall": _ivf_recall,
         "embedding_dups": _embedding_dups,
         "embedding_dups_exact": _embedding_dups_exact,
         "multimodal_features": _multimodal_features,
@@ -1069,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_exact": _EMBEDDING_DUPS_EXACT_SQL,
         "prune_decode_documents": _PRUNE_DECODE_DOCUMENTS_SQL,
         "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
+        "ivf_recall": _IVF_RECALL_SQL,
         "mask_redact": _MASK_REDACT_SQL,
         "mask_sha256": _MASK_SHA256_SQL,
         "char_varchar_documents": _CHAR_VARCHAR_SQL,
