@@ -608,3 +608,53 @@ def test_char_varchar_type_overrides(tmp_path, spark):
             str(tmp_path / "bad.orc"),
             type_overrides={"i": ("char", 3)},
         )
+
+
+def test_nested_edge_cases(tmp_path):
+    """Empty nested tables, all-null row-index decimal groups, and a
+    single-row union next to a list column."""
+    from decimal import Decimal
+
+    from sparc.engine import orcread
+
+    t0 = pa.table(
+        {
+            "l": pa.array([], pa.list_(pa.int64())),
+            "s": pa.array([], pa.struct([("a", pa.string())])),
+            "m": pa.array([], pa.map_(pa.string(), pa.int64())),
+            "d": pa.array([], pa.decimal128(38, 10)),
+        }
+    )
+    p0 = str(tmp_path / "empty_nested.orc")
+    orcfile.write_orc(t0, p0)
+    assert pa.orc.ORCFile(p0).read().num_rows == 0
+    assert orcread.read_orc(p0).num_rows == 0
+
+    vals = [None] * 1500 + [Decimal(123456789) * 10**10 for _ in range(1500)]
+    t1 = pa.table(
+        {
+            "d": pa.array(vals, pa.decimal128(38, 2)),
+            "k": pa.array(np.arange(3000), pa.int64()),
+        }
+    )
+    p1 = str(tmp_path / "dec_nullgroups.orc")
+    orcfile.write_orc(
+        t1, p1, rows_per_stripe=3000, row_index_stride=1000, compression="ZLIB"
+    )
+    assert pa.orc.ORCFile(p1).read()["d"].combine_chunks().equals(
+        t1["d"].combine_chunks()
+    )
+
+    u = pa.UnionArray.from_dense(
+        pa.array([0], pa.int8()),
+        pa.array([0], pa.int32()),
+        [pa.array([7], pa.int64()), pa.array([], pa.string())],
+        ["i", "s"],
+    )
+    t2 = pa.table({"u": u, "l": pa.array([[1, 2]], pa.list_(pa.int64()))})
+    p2 = str(tmp_path / "one_union.orc")
+    orcfile.write_orc(t2, p2)
+    got = pa.orc.ORCFile(p2).read()
+    assert got["u"].combine_chunks().to_pylist() == [7]
+    assert got["l"].combine_chunks().to_pylist() == [[1, 2]]
+    assert orcread.read_orc(p2)["u"].combine_chunks().to_pylist() == [7]
