@@ -889,6 +889,46 @@ _ORC_CROSSREAD_SQL = (
 )
 
 
+def _prep_pipeline_documents(spark, sf_dir):
+    """Composite training-data prep step — the realistic chain a corpus
+    pass runs: quality filter (JVM expression score) -> exact dedup
+    (map-side sha2 digests, min-id keeper) -> per-language doc/token
+    stats.  Full SQL oracle: every stage is SQL-expressible, so DuckDB
+    value-checks the whole pipeline end-to-end."""
+    from sparc.ops import dedup as dedup_ops
+    from sparc.ops import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(text_ops.quality_score_col(F.col("text")) >= 0.5)
+    uniq = dedup_ops.dedup_exact(kept)
+    return (
+        uniq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text_ops.token_count_col(F.col("text"))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _prep_pipeline_sql():
+    from sparc.ops import text as text_ops
+
+    q = text_ops.quality_score_sql("text")
+    tok = text_ops.token_count_sql("text")
+    return f"""
+WITH kept AS (SELECT * FROM documents WHERE ({q}) >= 0.5),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+uniq AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({tok}) AS BIGINT) AS n_tokens
+FROM uniq GROUP BY lang ORDER BY lang
+"""
+
+
 def _orc_nested_crossread(spark, sf_dir):
     """Nested + unbounded-decimal cross-read gate: partitions write REAL
     ORC files carrying an array<float> column, a struct column and a
@@ -1052,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
+        "prep_pipeline_documents": _prep_pipeline_documents,
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_candidates": _minhash_candidates,
@@ -1094,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_crossread_documents": _ORC_CROSSREAD_SQL,
         "orc_nested_crossread": _ORC_NESTED_CROSSREAD_SQL,
         "text_profile": _text_profile_sql(),
+        "prep_pipeline_documents": _prep_pipeline_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "simsearch_topk": _SIMSEARCH_SQL,
