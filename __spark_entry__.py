@@ -479,26 +479,37 @@ def _lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5)
 
 
-def _lsh_recall(spark, sf_dir):
-    """Measured recall@5 of the banded hyperplane LSH against the exact
-    cosine top-k on the same query set — the checkable quantity for an
-    approximate operator.  16 bands x 4 planes gives recall 0.90 on this
-    corpus (deterministic: plane literals are seeded); the oracle is the
-    constant-form contract "recall >= 0.8"."""
+def _ann_recall_gate(spark, sf_dir, ann_fn):
+    """Shared recall@5 gate for approximate ANN operators: join the
+    operator's top-k against the exact cosine top-k on the same query
+    set and report the constant-form contract "recall >= 0.8"."""
     from sparc.ops import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "corpus_id")
-    ann = similarity.lsh_topk(
-        emb, q, k=5, n_bands=16, planes_per_band=4
-    ).select("query_id", "corpus_id")
+    ann = ann_fn(emb, q).select("query_id", "corpus_id")
     hits = exact.join(ann, ["query_id", "corpus_id"]).count()
     total = exact.count()
     recall = hits / max(total, 1)
     return spark.createDataFrame(
         [(5, total // 5, bool(recall >= 0.8))],
         "k long, n_queries long, recall_ge_080 boolean",
+    )
+
+
+def _lsh_recall(spark, sf_dir):
+    """Measured recall@5 of the banded hyperplane LSH — the checkable
+    quantity for an approximate operator.  16 bands x 4 planes gives
+    recall 0.90 on this corpus (deterministic: plane literals are
+    seeded)."""
+    from sparc.ops import similarity
+
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: similarity.lsh_topk(
+            emb, q, k=5, n_bands=16, planes_per_band=4
+        ),
     )
 
 
@@ -510,26 +521,17 @@ _LSH_RECALL_SQL = (
 
 def _ivf_recall(spark, sf_dir):
     """Measured recall@5 of IVF in its APPROXIMATE mode (nprobe <
-    nlist, i.e. real list-skipping) against the exact cosine top-k —
-    the checkable quantity for the approximate path, complementing
-    ``ivf_topk`` which value-checks the machinery at nprobe == nlist.
-    The synthetic corpus is near-uniform (the hardest case for a coarse
-    quantizer); probing 6 of 8 lists measures 0.92 at sf0.001 and
-    sf0.01.  Oracle: the constant-form contract "recall >= 0.8"."""
+    nlist, i.e. real list-skipping) — complements ``ivf_topk`` which
+    value-checks the machinery at nprobe == nlist.  The synthetic
+    corpus is near-uniform (the hardest case for a coarse quantizer);
+    probing 6 of 8 lists measures 0.92 at sf0.001 and sf0.01."""
     from sparc.ops import similarity
 
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "corpus_id")
-    ann = similarity.ivf_topk(
-        emb, q, k=5, nlist=8, nprobe=6, iters=2
-    ).select("query_id", "corpus_id")
-    hits = exact.join(ann, ["query_id", "corpus_id"]).count()
-    total = exact.count()
-    recall = hits / max(total, 1)
-    return spark.createDataFrame(
-        [(5, total // 5, bool(recall >= 0.8))],
-        "k long, n_queries long, recall_ge_080 boolean",
+    return _ann_recall_gate(
+        spark, sf_dir,
+        lambda emb, q: similarity.ivf_topk(
+            emb, q, k=5, nlist=8, nprobe=6, iters=2
+        ),
     )
 
 
@@ -843,19 +845,18 @@ _ROUNDTRIP_DECIMAL_SQL = (
 )
 
 
-def _orc_crossread_documents(spark, sf_dir):
-    """Reference cross-read gate: each partition writes a REAL ORC file
-    with the engine's own kernels (sparc.engine.orcfile — RLEv2, sorted
-    dictionaries, PRESENT bitfields, hand-built protobuf tail), then the
-    reference reader itself (Spark's bundled orc-core Java reader) reads
-    the files back; mismatches must be zero.  Local-mode note: executors
-    and driver share a filesystem, so a tempdir sink is valid here."""
+def _orc_crossread_gate(spark, src: DataFrame) -> DataFrame:
+    """Shared reference cross-read gate: each partition writes a REAL
+    ORC file with the engine's own kernels (sparc.engine.orcfile —
+    hand-built protobuf tail), then the reference reader itself
+    (Spark's bundled orc-core Java reader) reads the files back;
+    mismatches must be zero.  Local-mode note: executors and driver
+    share a filesystem, so a tempdir sink is valid here."""
     import os
     import tempfile
 
     import pyarrow as pa
 
-    docs = _t(spark, sf_dir, "documents")
     out_dir = tempfile.mkdtemp(prefix="sparc_orcx_")
 
     def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -874,13 +875,19 @@ def _orc_crossread_documents(spark, sf_dir):
         )
 
     n_written = (
-        docs.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
+        src.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
     )
-    back = spark.read.orc(out_dir).select(*docs.columns)
-    n_mismatch = _count_mismatches(docs, back)
+    back = spark.read.orc(out_dir).select(*src.columns)
+    n_mismatch = _count_mismatches(src, back)
     return spark.createDataFrame(
         [(int(n_written), int(n_mismatch))], "n_rows long, n_mismatch long"
     )
+
+
+def _orc_crossread_documents(spark, sf_dir):
+    """RLEv2 / sorted-dictionary / PRESENT-bitfield cross-read over the
+    documents table."""
+    return _orc_crossread_gate(spark, _t(spark, sf_dir, "documents"))
 
 
 _ORC_CROSSREAD_SQL = (
@@ -936,11 +943,6 @@ def _orc_nested_crossread(spark, sf_dir):
     engine's pre-order type-tree writer (sparc.engine.orcfile —
     List/Struct/DecimalTreeWriter semantics, bigdec varint mantissas);
     the reference Java reader reads them back; mismatches must be 0."""
-    import os
-    import tempfile
-
-    import pyarrow as pa
-
     src = (
         _t(spark, sf_dir, "embeddings")
         .select(
@@ -958,31 +960,7 @@ def _orc_nested_crossread(spark, sf_dir):
             ).cast("decimal(38,10)").alias("amount"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="sparc_orcnx_")
-
-    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from pyspark import TaskContext
-
-        from sparc.engine import orcfile
-
-        got = list(batches)
-        if not got:
-            return
-        t = pa.Table.from_batches(got)
-        pid = TaskContext.get().partitionId()
-        orcfile.write_orc(t, os.path.join(out_dir, f"part-{pid:05d}.orc"))
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([t.num_rows], pa.int64())], names=["n"]
-        )
-
-    n_written = (
-        src.repartition(2).mapInArrow(write, "n long").agg(F.sum("n")).collect()[0][0]
-    )
-    back = spark.read.orc(out_dir).select(*src.columns)
-    n_mismatch = _count_mismatches(src, back)
-    return spark.createDataFrame(
-        [(int(n_written), int(n_mismatch))], "n_rows long, n_mismatch long"
-    )
+    return _orc_crossread_gate(spark, src)
 
 
 _ORC_NESTED_CROSSREAD_SQL = (

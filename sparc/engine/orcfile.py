@@ -226,13 +226,20 @@ def _combined(arr) -> pa.Array:
 def _encode_tree(
     node: dict, arr: pa.Array, v11: bool,
     out: list[tuple[int, list[tuple[int, bytes]], bytes]],
+    counts: dict[int, list],
 ) -> None:
     """Recursively encode ``arr`` under ``node``, appending
-    (column_id, streams, encoding_pb) in pre-order.  ORC nested nulls:
-    a child column holds entries only for slots where the parent is
-    present (StructTreeWriter/ListTreeWriter writeBatch semantics)."""
+    (column_id, streams, encoding_pb) in pre-order and accumulating
+    per-id footer stats into ``counts`` ({id: [n_values, has_null]}) —
+    one walk produces both streams and statistics, so they cannot
+    drift apart.  ORC nested nulls: a child column holds entries only
+    for slots where the parent is present (StructTreeWriter/
+    ListTreeWriter writeBatch semantics)."""
     t = node["t"]
     arr = _combined(arr)
+    c = counts.setdefault(node["id"], [0, False])
+    c[0] += len(arr) - arr.null_count
+    c[1] = c[1] or arr.null_count > 0
     if not _is_nested(t):
         streams, enc = _encode_column(arr, v11)
         out.append((node["id"], streams, enc))
@@ -252,7 +259,7 @@ def _encode_tree(
             child = _combined(arr.field(i))
             if arr.null_count:
                 child = child.filter(valid)
-            _encode_tree(child_node, child, v11, out)
+            _encode_tree(child_node, child, v11, out, counts)
         return
     if pa.types.is_union(t):
         # UnionTreeWriter: DATA = byte-RLE tags; each variant's values
@@ -273,7 +280,7 @@ def _encode_tree(
             rows = np.flatnonzero(tags == i)
             take = offs[rows] if dense else rows
             child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
-            _encode_tree(child_node, child, v11, out)
+            _encode_tree(child_node, child, v11, out, counts)
         return
     # list / map: LENGTH stream of present slots, children flattened
     nn = arr.drop_null() if arr.null_count else arr
@@ -303,48 +310,7 @@ def _encode_tree(
         (node["id"], streams, _f_varint(1, _ENC_DIRECT if v11 else _ENC_DIRECT_V2))
     )
     for child, (_, child_node) in zip(children, node["children"]):
-        _encode_tree(child_node, child, v11, out)
-
-
-def _count_tree(node: dict, arr: pa.Array, counts: dict[int, tuple[int, bool]]) -> None:
-    """Per-column-id (non-null value count, has_null) for footer stats,
-    walking the same present-space the encoder writes."""
-    arr = _combined(arr)
-    counts[node["id"]] = (len(arr) - arr.null_count, arr.null_count > 0)
-    t = node["t"]
-    if pa.types.is_struct(t):
-        valid = arr.is_valid() if arr.null_count else None
-        for i, (_, child_node) in enumerate(node["children"]):
-            child = _combined(arr.field(i))
-            if valid is not None:
-                child = child.filter(valid)
-            _count_tree(child_node, child, counts)
-    elif pa.types.is_union(t):
-        codes = arr.type_codes.to_numpy(zero_copy_only=False)
-        lut = np.zeros(128, np.uint8)
-        for i, c in enumerate(t.type_codes):
-            lut[c] = i
-        tags = lut[codes]
-        dense = t.mode == "dense"
-        offs = arr.offsets.to_numpy(zero_copy_only=False) if dense else None
-        for i, (_, child_node) in enumerate(node["children"]):
-            rows = np.flatnonzero(tags == i)
-            take = offs[rows] if dense else rows
-            child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
-            _count_tree(child_node, child, counts)
-    elif pa.types.is_map(t):
-        nn = arr.drop_null() if arr.null_count else arr
-        offs = (
-            nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(nn)
-            else np.zeros(1, np.int64)
-        )
-        lo_e, hi_e = int(offs[0]), int(offs[-1])
-        _count_tree(node["children"][0][1], nn.keys.slice(lo_e, hi_e - lo_e), counts)
-        _count_tree(node["children"][1][1], nn.items.slice(lo_e, hi_e - lo_e), counts)
-    elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        nn = arr.drop_null() if arr.null_count else arr
-        _count_tree(node["children"][0][1], nn.flatten(), counts)
+        _encode_tree(child_node, child, v11, out, counts)
 
 
 def _encode_column(
@@ -653,6 +619,16 @@ def write_orc(
             pa.types.is_string(node["t"]) or pa.types.is_large_string(node["t"])
         ):
             raise ValueError(f"type_overrides: {name} must be a string column")
+        # the reference writer can never store a value longer than the
+        # declared maximumLength — refuse rather than emit a
+        # spec-nonconformant file (pad/truncate enforcement is
+        # sparc.ops.mask's job, upstream of the sink)
+        longest = pa.compute.max(pa.compute.utf8_length(table.column(name))).as_py()
+        if longest is not None and longest > maxlen:
+            raise ValueError(
+                f"type_overrides: {name} holds a {longest}-char value — "
+                f"exceeds {kind_name}({maxlen})"
+            )
         node["orc_override"] = (kind_name, maxlen)
     has_nested = any(_is_nested(t) for t in table.schema.types)
     if has_nested and row_index_stride:
@@ -661,6 +637,7 @@ def write_orc(
     header_len = 3
     stripe_infos = []
     total_rows = table.num_rows
+    counts: dict[int, list] = {}  # id -> [n_values, has_null], via encode walk
 
     for lo in range(0, max(total_rows, 1), max(rows_per_stripe, 1)):
         chunk = table.slice(lo, rows_per_stripe)
@@ -685,6 +662,9 @@ def write_orc(
                 col = chunk.column(i)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
+                c = counts.setdefault(i + 1, [0, False])
+                c[0] += len(col) - col.null_count
+                c[1] = c[1] or col.null_count > 0
                 streams, enc, stats = _encode_column_grouped(col, bounds, v11)
                 encodings.append(enc)
                 # build each stream: per-group pieces, compressed (each
@@ -715,7 +695,8 @@ def write_orc(
             flat: list[tuple[int, list[tuple[int, bytes]], bytes]] = []
             for i in range(n_cols):
                 _encode_tree(
-                    root_node["children"][i][1], chunk.column(i), v11, flat
+                    root_node["children"][i][1], chunk.column(i), v11, flat,
+                    counts,
                 )
             # _encode_tree appends pre-order, which IS column-id order
             for cid, streams, _ in flat:
@@ -761,11 +742,12 @@ def write_orc(
     for tp in type_pbs:
         footer += _f_bytes(4, tp)
     footer += _f_varint(6, total_rows)
-    counts: dict[int, tuple[int, bool]] = {0: (total_rows, False)}
-    for i in range(n_cols):
-        _count_tree(root_node["children"][i][1], table.column(i), counts)
+    # per-id stats accumulated by the encode walk itself (one traversal
+    # produces streams AND counts, so they cannot drift apart)
+    counts[0] = [total_rows, False]
     for cid in range(len(type_pbs)):
-        footer += _f_bytes(7, _min_stats(*counts[cid]))
+        n_v, has_null = counts.get(cid, [0, False])
+        footer += _f_bytes(7, _min_stats(n_v, has_null))
     footer += _f_varint(8, row_index_stride)
     footer_wrapped = _orc_compress(bytes(footer), compression)
     out += footer_wrapped

@@ -145,6 +145,7 @@ _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
     6: "double", 7: "string", 8: "binary", 9: "timestamp", 10: "list",
     11: "map", 12: "struct", 13: "union", 14: "decimal", 15: "date",
+    16: "varchar", 17: "char",
 }
 _STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
                 5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
@@ -283,6 +284,11 @@ def _decode_tree(
         return pa.StructArray.from_arrays(kids, names)
     lengths = rle.decode(streams["LENGTH"], n_vals, signed=False)
     total = int(lengths.sum())
+    if total > 2**31 - 1:
+        raise NotImplementedError(
+            f"orcread: stripe holds {total} nested elements — exceeds "
+            "int32 Arrow list offsets"
+        )
     if valid is None:
         off_arr = pa.array(
             np.concatenate(([0], np.cumsum(lengths))).astype(np.int32), pa.int32()
@@ -375,8 +381,10 @@ def _decode_orc_column(
             )
             us = wall.values.astype("datetime64[us]").astype(np.int64)
         return scatter(us, pa.timestamp("us"))
-    if tk in ("string", "binary"):
-        t = pa.string() if tk == "string" else pa.binary()
+    if tk in ("string", "binary", "varchar", "char"):
+        # CHAR/VARCHAR carry ordinary string streams; maximumLength is
+        # type metadata only (values are stored as written)
+        t = pa.binary() if tk == "binary" else pa.string()
         if enc_kind in (1, 3):  # DICTIONARY / DICTIONARY_V2
             nd = enc_pb.get(2, [0])[0]
             dlens = rle.decode(streams["LENGTH"], nd, signed=False)

@@ -658,3 +658,25 @@ def test_nested_edge_cases(tmp_path):
     assert got["u"].combine_chunks().to_pylist() == [7]
     assert got["l"].combine_chunks().to_pylist() == [[1, 2]]
     assert orcread.read_orc(p2)["u"].combine_chunks().to_pylist() == [7]
+
+
+def test_char_varchar_orcread_and_length_guard(tmp_path):
+    """Our own kernels read the CHAR/VARCHAR wire types back, and the
+    writer refuses values longer than the declared maximumLength (a file
+    the reference writer could never produce)."""
+    from sparc.engine import orcread
+
+    t = pa.table({"c": pa.array(["ab ", "cde"]), "v": pa.array(["a", "bcdef"])})
+    path = str(tmp_path / "cv2.orc")
+    orcfile.write_orc(
+        t, path, type_overrides={"c": ("char", 3), "v": ("varchar", 5)}
+    )
+    got = orcread.read_orc(path)
+    assert got["c"].combine_chunks().to_pylist() == ["ab ", "cde"]
+    assert got["v"].combine_chunks().to_pylist() == ["a", "bcdef"]
+    with pytest.raises(ValueError, match="exceeds varchar"):
+        orcfile.write_orc(
+            pa.table({"v": pa.array(["toolongvalue"])}),
+            str(tmp_path / "bad2.orc"),
+            type_overrides={"v": ("varchar", 3)},
+        )
