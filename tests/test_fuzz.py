@@ -156,3 +156,41 @@ def test_orcfile_nested_fuzz(data):
         if a.type != b.type:
             b = b.cast(a.type)
         assert a.equals(b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_orcread_pyarrow_written_fuzz(data):
+    """Reverse direction: the C++ ORC writer produces random flat+nested
+    tables; OUR kernels must decode them identically to the C++ reader."""
+    import pyarrow as pa
+    import pyarrow.orc
+    import tempfile, os
+
+    from sparc.engine import orcread
+
+    draw = data.draw
+    n = draw(st.integers(min_value=1, max_value=50))
+    comp = draw(st.sampled_from(["UNCOMPRESSED", "ZLIB", "ZSTD"]))
+    ints = [None if i % 6 == 2 else draw(small_ints) for i in range(n)]
+    strs = [None if i % 7 == 3 else draw(st.text(max_size=10)) for i in range(n)]
+    lists = [None if i % 5 == 4 else
+             [draw(small_ints) for _ in range(i % 3)] for i in range(n)]
+    t = pa.table(
+        {
+            "i": pa.array(ints, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+            "l": pa.array(lists, pa.list_(pa.int64())),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.orc")
+        pa.orc.write_table(t, p, compression=comp)
+        got = orcread.read_orc(p)
+        ref = pa.orc.ORCFile(p).read()
+        for name in ref.schema.names:
+            a = got[name].combine_chunks()
+            b = ref[name].combine_chunks()
+            if a.type != b.type:
+                b = b.cast(a.type)
+            assert a.equals(b), name
