@@ -233,8 +233,11 @@ def _encode_tree(
     per-id footer stats into ``counts`` ({id: [n_values, has_null]}) —
     one walk produces both streams and statistics, so they cannot
     drift apart.  ORC nested nulls: a child column holds entries only
-    for slots where the parent is present (StructTreeWriter/
-    ListTreeWriter writeBatch semantics)."""
+    for slots where the parent is present (StructTreeWriter.writeBatch
+    StructTreeWriter.java:71-100, ListTreeWriter.writeBatch
+    ListTreeWriter.java:73-126, MapTreeWriter.writeBatch
+    MapTreeWriter.java:77-136 — coordinates recovered from the
+    orc-core 2.2.2 jar's line tables per SURVEY §0)."""
     t = node["t"]
     arr = _combined(arr)
     c = counts.setdefault(node["id"], [0, False])
@@ -262,9 +265,10 @@ def _encode_tree(
             _encode_tree(child_node, child, v11, out, counts)
         return
     if pa.types.is_union(t):
-        # UnionTreeWriter: DATA = byte-RLE tags; each variant's values
-        # follow in row order.  Arrow unions carry no top-level validity,
-        # so there is never a PRESENT stream here.
+        # UnionTreeWriter.writeBatch UnionTreeWriter.java:59-115: DATA =
+        # byte-RLE tags; each variant's values follow in row order.
+        # Arrow unions carry no top-level validity, so there is never a
+        # PRESENT stream here.
         from ..kernels import byterle
 
         codes = arr.type_codes.to_numpy(zero_copy_only=False)
@@ -347,8 +351,9 @@ def _encode_column(
         streams.append((_STREAM_SECONDARY, rle(nanos, False)))
     elif pa.types.is_decimal(t):
         # DecimalTreeWriter: DATA = unbounded zigzag-varint mantissa
-        # (SerializationUtils.writeBigInteger), SECONDARY = *signed* RLE
-        # scale, one per value (DecimalTreeWriter.writeBatch)
+        # (SerializationUtils.writeBigInteger SerializationUtils.java:
+        # 195-217), SECONDARY = *signed* RLE scale, one per value
+        # (DecimalTreeWriter.writeBatch DecimalTreeWriter.java:159-165)
         from ..kernels import bigdec
 
         lo, hi = _decimal_words(nn)

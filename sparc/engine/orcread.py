@@ -226,7 +226,10 @@ def _decode_tree(
     n_rows: int, writer_tz: str,
 ) -> pa.Array:
     """Recursive column decode over the pre-order type tree.  Nested
-    nulls per the ORC model (StructTreeReader/ListTreeReader): a child
+    nulls per the ORC model (TreeReaderFactory's StructTreeReader
+    :2569-2661, ListTreeReader :2792-2878, MapTreeReader :2884-2979,
+    UnionTreeReader :2671-2766, DecimalTreeReader :1484-1782 —
+    orc-core 2.2.2 jar line tables per SURVEY §0): a child
     stream holds entries only for slots where the parent is present, so
     each level re-expands its children through its own PRESENT bits."""
     type_pb = types[type_id]
