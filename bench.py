@@ -440,6 +440,19 @@ def main() -> None:
                     if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
                     else "pyscan"
                 ),
+                # the headline strategy's own wall/CPU ratio vs the
+                # reference writer, top-level so artifact readers don't
+                # have to re-derive which *_vs_reference_* applies
+                "headline_vs_reference_wall": (
+                    extras["input_vs_reference_wall"]
+                    if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
+                    else extras["pyscan_vs_reference_wall"]
+                ),
+                "headline_vs_reference_cpu": (
+                    extras["input_vs_reference_cpu"]
+                    if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
+                    else extras["pyscan_vs_reference_cpu"]
+                ),
                 "queries": timings,
                 "sf": sf,
                 **extras,

@@ -1,0 +1,46 @@
+#!/bin/bash
+# Wait for a healthy host window (first-touch-fault canary < threshold),
+# then land bench.py and scaling_bench.py records in that window.
+# This VM swings between ~1 s and >120 s on the same 800 MB alloc+touch
+# canary (see BENCH/BASELINE.md "Host caveats"); measurements taken in a
+# storm window are honest but useless for comparison, so records are
+# canary-gated.
+set -u
+cd /root/repo
+THRESH=${CANARY_THRESH:-4.0}
+LOG=/tmp/healthy_bench.log
+echo "watcher start $(date)" >> "$LOG"
+
+canary() {
+  timeout 300 python3 -c "
+import time, numpy as np
+t0=time.perf_counter(); np.random.default_rng(1).integers(0,255,100_000_000).astype(np.uint8)
+print(round(time.perf_counter()-t0,1))" 2>/dev/null | tail -1
+}
+
+while true; do
+  c1=$(canary); c1=${c1:-999}
+  echo "canary $c1 $(date +%T)" >> "$LOG"
+  if python3 -c "exit(0 if float('$c1') < $THRESH else 1)"; then
+    sleep 20
+    c2=$(canary); c2=${c2:-999}
+    echo "canary2 $c2 $(date +%T)" >> "$LOG"
+    if python3 -c "exit(0 if float('$c2') < $THRESH else 1)"; then
+      echo "healthy window - running bench $(date +%T)" >> "$LOG"
+      timeout 2400 python bench.py > /tmp/bench_healthy.out 2>&1
+      rc=$?
+      echo "bench rc=$rc $(date +%T)" >> "$LOG"
+      grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
+      if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
+        cp /tmp/bench_healthy.json BENCH/bench_r3_window2.json
+        echo "bench recorded $(date +%T)" >> "$LOG"
+        echo "running scaling $(date +%T)" >> "$LOG"
+        timeout 3000 python scaling_bench.py > /tmp/scaling_healthy.out 2>&1
+        echo "scaling rc=$? $(date +%T)" >> "$LOG"
+        break
+      fi
+    fi
+  fi
+  sleep 120
+done
+echo "watcher done $(date)" >> "$LOG"
