@@ -995,6 +995,45 @@ FROM documents
 """
 
 
+def _compact_roundtrip(spark, sf_dir):
+    """appendStripe analog end-to-end (WriterImpl.appendStripe,
+    org/apache/orc/impl/WriterImpl.java:854-904): encode two disjoint
+    halves of documents into separate manifests, compact them into one
+    (stripe-id renumber + footer rewrite only — no data bytes move, no
+    kernel runs), decode the compacted manifest and count rows failing
+    bit-identical reconstruction against the source table."""
+    import tempfile
+
+    from sparc.job import compact_job, decode_job, encode_job
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="sparc_cmp_")
+    a, b, out = f"{base}/a", f"{base}/b", f"{base}/all"
+    encode_job.run_encode(
+        docs.filter(F.col("doc_id") % 2 == 0), a,
+        key="doc_id", strategy="hash", n_stripes=2, resume=False,
+    )
+    encode_job.run_encode(
+        docs.filter(F.col("doc_id") % 2 == 1), b,
+        key="doc_id", strategy="hash", n_stripes=2, resume=False,
+    )
+    info = compact_job.compact(spark, [a, b], out)
+    decoded = decode_job.run_decode(spark, out)
+    n_mismatch = _count_mismatches(docs, decoded)
+    return spark.createDataFrame(
+        [(docs.count(), n_mismatch, int(info["n_stripes"]))],
+        "n_rows long, n_mismatch long, n_stripes long",
+    )
+
+
+_COMPACT_ROUNDTRIP_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(4 AS BIGINT) AS n_stripes
+FROM documents
+"""
+
+
 def _multimodal_features(spark, sf_dir):
     """Scalar metadata surface of the multimodal plumbing (value-checked);
     the array<float> feature column lives in extract_features and is
@@ -1065,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimal": _roundtrip_decimal,
         "rowgroup_prune_events": _rowgroup_prune_events,
         "schema_evolution_documents": _schema_evolution_documents,
+        "compact_roundtrip": _compact_roundtrip,
         "orc_crossread_documents": _orc_crossread_documents,
         "orc_nested_crossread": _orc_nested_crossread,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
@@ -1106,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM events",
         "roundtrip_lineitem": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM lineitem",
         "roundtrip_embeddings": "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM embeddings",
+        "compact_roundtrip": _COMPACT_ROUNDTRIP_SQL,
         "roundtrip_structs": _ROUNDTRIP_STRUCTS_SQL,
         "roundtrip_decimal": _ROUNDTRIP_DECIMAL_SQL,
         "rowgroup_prune_events": _rowgroup_prune_sql(),
