@@ -120,6 +120,19 @@ def test_binary_with_nulls():
     _roundtrip(pa.table({"b": pa.array(vals, pa.binary())}))
 
 
+def test_binary_never_dictionary():
+    # BinaryTreeWriter is always DIRECT in the reference — even a
+    # low-cardinality binary column must not build a dictionary (and the
+    # 10k-row unique() probe must not run: it was ~40% of blob-column CPU)
+    vals = [b"aa", b"bb", b"aa", b"bb"] * 1000
+    t = pa.table({"b": pa.array(vals, pa.binary())})
+    streams, footer = stripe.encode_stripe(t)
+    assert footer["columns"][0]["encoding"] == "direct"
+    assert "DICTIONARY_DATA" not in {k for _, k in streams}
+    out = stripe.decode_stripe(streams, footer)
+    assert out["b"].combine_chunks().equals(t["b"].combine_chunks())
+
+
 def test_large_types():
     _roundtrip(pa.table({
         "ls": pa.array(["a" * i for i in range(200)], pa.large_string()),
