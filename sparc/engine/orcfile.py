@@ -20,8 +20,9 @@ Scope (deliberately minimal — an oracle, not the product sink):
   signed RLE scale stream, ``DecimalTreeWriter`` semantics
 - nested types: list / map / struct / dense+sparse union to any depth —
   pre-order column-id tree with per-level PRESENT + LENGTH / byte-RLE
-  TAG streams (Struct/List/Map/UnionTreeWriter semantics); the row-index
-  path stays flat-only
+  TAG streams (Struct/List/Map/UnionTreeWriter semantics), in both the
+  plain and the row-indexed layout (child row-group windows derived from
+  the parent's present/length prefix sums)
 - nullable columns via PRESENT streams
 - optional ROW_INDEX streams (``row_index_stride > 0``): per-group seek
   positions + IntegerStatistics; the reference Java reader demonstrably
@@ -64,6 +65,33 @@ def _compress_one(chunk: bytes, kind: str) -> bytes:
     # snappy embeds the uncompressed length as a leading varint, zstd's
     # single-shot frame header records the content size
     return bytes(pa.Codec(kind.lower()).compress(chunk))
+
+
+def _compress_chunked(
+    data: bytes, kind: str
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """_orc_compress, also returning the (uncompressed, compressed) start
+    offsets of every chunk — needed to translate an uncompressed stream
+    offset into the (block start, offset in block) pair a compressed
+    InStream.seek consumes."""
+    if kind == "NONE" or not data:
+        return data, np.array([0], np.int64), np.array([0], np.int64)
+    out = bytearray()
+    u_starts, c_starts = [], []
+    for pos in range(0, len(data), _ORC_CHUNK):
+        u_starts.append(pos)
+        c_starts.append(len(out))
+        chunk = bytes(data[pos : pos + _ORC_CHUNK])
+        comp = _compress_one(chunk, kind)
+        if len(comp) < len(chunk):
+            head = len(comp) << 1
+            body = comp
+        else:
+            head = (len(chunk) << 1) | 1
+            body = chunk
+        out += bytes([head & 0xFF, (head >> 8) & 0xFF, (head >> 16) & 0xFF])
+        out += body
+    return bytes(out), np.array(u_starts, np.int64), np.array(c_starts, np.int64)
 
 
 def _orc_compress(data: bytes, kind: str) -> bytes:
@@ -457,13 +485,12 @@ def _encode_column_grouped(
     streams: list[tuple[int, list[bytes], int]] = []
     valid = arr.is_valid().to_numpy(zero_copy_only=False) if arr.null_count else None
     if valid is not None:
-        streams.append(
-            (
-                _STREAM_PRESENT,
-                [bitfield.encode(valid[lo:hi]) for lo, hi in bounds],
-                _EXTRAS_BITS,
-            )
-        )
+        # one continuous bit stream + real mid-stream seek positions:
+        # restart-per-group byte flushes would inject padding bits when a
+        # group boundary is not a multiple of 8, which is the normal case
+        # for nested children's value spaces
+        blob, marks = bitfield.encode_with_marks(valid, [lo for lo, _ in bounds])
+        streams.append((_STREAM_PRESENT, [blob], _EXTRAS_BITS, marks))
     # value offsets of each group into the non-null space
     if valid is None:
         voffs = [lo for lo, _ in bounds] + [len(arr)]
@@ -534,13 +561,8 @@ def _encode_column_grouped(
         enc = _f_varint(1, _ENC_DIRECT)
     elif pa.types.is_boolean(t):
         vals = nn.to_numpy(zero_copy_only=False)
-        streams.append(
-            (
-                _STREAM_DATA,
-                [bitfield.encode(vals[vs(g)]) for g in range(n_groups)],
-                _EXTRAS_BITS,
-            )
-        )
+        blob, marks = bitfield.encode_with_marks(vals, voffs[:-1])
+        streams.append((_STREAM_DATA, [blob], _EXTRAS_BITS, marks))
         enc = _f_varint(1, _ENC_DIRECT)
     elif stripe_mod._is_binary_like(t):
         bin_arr = nn.cast(pa.large_binary())
@@ -579,6 +601,143 @@ def _encode_column_grouped(
             for g, (lo, hi) in enumerate(bounds)
         ]
     return streams, enc, stats
+
+
+def _encode_tree_grouped(
+    node: dict,
+    arr: pa.Array,
+    bounds: list[tuple[int, int]],
+    v11: bool,
+    counts: dict[int, list],
+    out: list[tuple[int, list[tuple[int, list[bytes], int]], bytes, list[bytes]]],
+) -> None:
+    """Row-group-segmented recursive encode: the indexed-file analog of
+    ``_encode_tree``.  Every stream of every node in the subtree is a
+    per-group blob list (coder + compression chunk restart at each group,
+    so recorded positions are exact piece starts), and every node gets
+    per-group ColumnStatistics — ORC row indexes cover nested columns
+    exactly like flat ones (``TreeWriterBase.createRowIndexEntry``
+    recurses childrenWriters, TreeWriterBase.java:323-330).
+
+    ``bounds`` are windows in THIS node's own value space: row-group row
+    windows at the root; for children, the windows induced by the parent
+    (present-slot prefix sums for struct children, element-offset
+    windows for list/map children, per-variant tag counts for unions)."""
+    t = node["t"]
+    arr = _combined(arr)
+    c = counts.setdefault(node["id"], [0, False])
+    c[0] += len(arr) - arr.null_count
+    c[1] = c[1] or arr.null_count > 0
+    if not _is_nested(t):
+        streams, enc, stats = _encode_column_grouped(arr, bounds, v11)
+        out.append((node["id"], streams, enc, stats))
+        return
+    rle = (lambda v: rlev1.encode(v, signed=False)) if v11 else (
+        lambda v: rlev2.encode(v, signed=False)
+    )
+    n_groups = len(bounds)
+    streams: list[tuple[int, list[bytes], int]] = []
+    valid_arr = arr.is_valid() if arr.null_count else None
+    valid = (
+        valid_arr.to_numpy(zero_copy_only=False) if valid_arr is not None else None
+    )
+    if valid is not None:
+        blob, marks = bitfield.encode_with_marks(valid, [lo for lo, _ in bounds])
+        streams.append((_STREAM_PRESENT, [blob], _EXTRAS_BITS, marks))
+        cum = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        voffs = [int(cum[lo]) for lo, _ in bounds] + [int(cum[-1])]
+    else:
+        voffs = [lo for lo, _ in bounds] + [len(arr)]
+    stats = [
+        _min_stats(
+            voffs[g + 1] - voffs[g],
+            valid is not None and not valid[lo:hi].all(),
+        )
+        for g, (lo, hi) in enumerate(bounds)
+    ]
+    present_bounds = [(voffs[g], voffs[g + 1]) for g in range(n_groups)]
+    if pa.types.is_struct(t):
+        out.append((node["id"], streams, _f_varint(1, _ENC_DIRECT), stats))
+        for i, (_, child_node) in enumerate(node["children"]):
+            child = _combined(arr.field(i))
+            if valid_arr is not None:
+                child = child.filter(valid_arr)
+            _encode_tree_grouped(
+                child_node, child, present_bounds, v11, counts, out
+            )
+        return
+    if pa.types.is_union(t):
+        from ..kernels import byterle
+
+        codes = arr.type_codes.to_numpy(zero_copy_only=False)
+        lut = np.zeros(128, np.uint8)
+        for i, tc in enumerate(t.type_codes):
+            lut[tc] = i
+        tags = lut[codes]
+        # RunLengthByteReader.seek consumes (offset, used) — the same
+        # position shape as the int RLE coders
+        streams.append(
+            (
+                _STREAM_DATA,
+                [byterle.encode(tags[lo:hi]) for lo, hi in bounds],
+                _EXTRAS_RLE,
+            )
+        )
+        out.append((node["id"], streams, _f_varint(1, _ENC_DIRECT), stats))
+        dense = t.mode == "dense"
+        offs_u = arr.offsets.to_numpy(zero_copy_only=False) if dense else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            mask = tags == i
+            cum_i = np.concatenate(([0], np.cumsum(mask.astype(np.int64))))
+            child_bounds = [(int(cum_i[lo]), int(cum_i[hi])) for lo, hi in bounds]
+            rows = np.flatnonzero(mask)
+            take = offs_u[rows] if dense else rows
+            child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
+            _encode_tree_grouped(child_node, child, child_bounds, v11, counts, out)
+        return
+    # list / map: LENGTH of present slots per group; child windows are
+    # the element-offset spans of each group's present slots
+    nn = arr.drop_null() if arr.null_count else arr
+    if pa.types.is_map(t):
+        offs = (
+            nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(1, np.int64)
+        )
+        lengths = np.diff(offs)
+        lo_e, hi_e = int(offs[0]), int(offs[-1])
+        children = [
+            nn.keys.slice(lo_e, hi_e - lo_e),
+            nn.items.slice(lo_e, hi_e - lo_e),
+        ]
+    else:
+        lengths = (
+            nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(0, np.int64)
+        )
+        children = [nn.flatten()]
+    streams.append(
+        (
+            _STREAM_LENGTH,
+            [rle(lengths[voffs[g] : voffs[g + 1]]) for g in range(n_groups)],
+            _EXTRAS_RLE,
+        )
+    )
+    out.append(
+        (
+            node["id"],
+            streams,
+            _f_varint(1, _ENC_DIRECT if v11 else _ENC_DIRECT_V2),
+            stats,
+        )
+    )
+    e_cum = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+    elem_bounds = [
+        (int(e_cum[voffs[g]]), int(e_cum[voffs[g + 1]])) for g in range(n_groups)
+    ]
+    for child, (_, child_node) in zip(children, node["children"]):
+        _encode_tree_grouped(child_node, child, elem_bounds, v11, counts, out)
 
 
 def _row_index_pb(entries: list[tuple[list[int], bytes]]) -> bytes:
@@ -635,9 +794,6 @@ def write_orc(
                 f"exceeds {kind_name}({maxlen})"
             )
         node["orc_override"] = (kind_name, maxlen)
-    has_nested = any(_is_nested(t) for t in table.schema.types)
-    if has_nested and row_index_stride:
-        raise NotImplementedError("orcfile: row index over nested columns")
     out = bytearray(b"ORC")
     header_len = 3
     stripe_infos = []
@@ -662,39 +818,82 @@ def write_orc(
             wrapped = _orc_compress(root_ri, compression)
             stream_meta.append((_STREAM_ROW_INDEX, 0, len(wrapped)))
             index += wrapped
-            col_payloads = []
+            grouped: list[
+                tuple[int, list[tuple[int, list[bytes], int]], bytes, list[bytes]]
+            ] = []
             for i in range(n_cols):
                 col = chunk.column(i)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                c = counts.setdefault(i + 1, [0, False])
-                c[0] += len(col) - col.null_count
-                c[1] = c[1] or col.null_count > 0
-                streams, enc, stats = _encode_column_grouped(col, bounds, v11)
+                # pre-order emission == column-id order, nested included
+                _encode_tree_grouped(
+                    root_node["children"][i][1], col, bounds, v11, counts,
+                    grouped,
+                )
+            col_payloads = []
+            for cid, streams, enc, stats in grouped:
                 encodings.append(enc)
-                # build each stream: per-group pieces, compressed (each
-                # group restarts a chunk) — positions are piece offsets
-                built = []  # (kind, bytes, [per-group offsets], extras)
-                for kind, blobs, extras in streams:
-                    pieces = [_orc_compress(b, compression) for b in blobs]
-                    offs = np.concatenate(([0], np.cumsum([len(p) for p in pieces])))
-                    built.append((kind, b"".join(pieces), offs[:-1], extras))
+                # build each stream.  Two layouts:
+                # - per-group pieces (marks is None): coder + compression
+                #   chunk restart at each group, positions are exact piece
+                #   offsets with zero coder state;
+                # - whole stream + marks (bit-packed PRESENT / BOOLEAN
+                #   DATA): one continuous stream, positions carry the real
+                #   (chunk offset, used-in-run, bits) coder state.
+                built = []  # (kind, bytes, offsets-or-chunkmaps, extras, marks)
+                for st in streams:
+                    kind, blobs, extras = st[0], st[1], st[2]
+                    marks = st[3] if len(st) > 3 else None
+                    if marks is None:
+                        pieces = [_orc_compress(b, compression) for b in blobs]
+                        offs = np.concatenate(
+                            ([0], np.cumsum([len(p) for p in pieces]))
+                        )
+                        built.append((kind, b"".join(pieces), offs[:-1], None, None))
+                    else:
+                        wrapped, u_starts, c_starts = _compress_chunked(
+                            blobs[0], compression
+                        )
+                        built.append(
+                            (kind, wrapped, (u_starts, c_starts), None, marks)
+                        )
                 entries = []
                 for g in range(len(bounds)):
                     positions: list[int] = []
-                    for kind, _, offs, extras in built:
-                        positions.append(int(offs[g]))
-                        if compression != "NONE":
-                            positions.append(0)  # offset inside the chunk
-                        positions.extend([0] * extras)  # coder state
+                    for st, b in zip(streams, built):
+                        extras = st[2]
+                        _, _, offs, _, marks = b
+                        if marks is None:
+                            positions.append(int(offs[g]))
+                            if compression != "NONE":
+                                positions.append(0)  # offset inside the chunk
+                            positions.extend([0] * extras)  # coder state
+                        else:
+                            off, used, bits = marks[g]
+                            if compression == "NONE":
+                                positions.extend([off, used, bits])
+                            else:
+                                u_starts, c_starts = offs
+                                ci = (
+                                    int(np.searchsorted(u_starts, off, "right"))
+                                    - 1
+                                )
+                                positions.extend(
+                                    [
+                                        int(c_starts[ci]),
+                                        off - int(u_starts[ci]),
+                                        used,
+                                        bits,
+                                    ]
+                                )
                     entries.append((positions, stats[g]))
                 ri = _orc_compress(_row_index_pb(entries), compression)
-                stream_meta.append((_STREAM_ROW_INDEX, i + 1, len(ri)))
+                stream_meta.append((_STREAM_ROW_INDEX, cid, len(ri)))
                 index += ri
-                col_payloads.append(built)
-            for i, built in enumerate(col_payloads):
-                for kind, payload, _, _ in built:
-                    stream_meta.append((kind, i + 1, len(payload)))
+                col_payloads.append((cid, built))
+            for cid, built in col_payloads:
+                for kind, payload, _, _, _ in built:
+                    stream_meta.append((kind, cid, len(payload)))
                     data += payload
         else:
             flat: list[tuple[int, list[tuple[int, bytes]], bytes]] = []

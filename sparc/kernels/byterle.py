@@ -59,6 +59,44 @@ def encode(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_with_marks(
+    values: np.ndarray, marks: list[int]
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """Encode, and for each value index in ``marks`` return the seek
+    position ``(byte offset of the control byte whose chunk contains the
+    value, values already consumed within that chunk)`` — what
+    ``RunLengthByteReader.seek`` consumes (RunLengthByteReader.java:
+    84-99).  A mark exactly on a chunk boundary points at the next
+    chunk's control byte with used=0; a mark at/after the end points at
+    end-of-stream.  Cost: one O(encoded-size) walk, independent of the
+    mark count."""
+    blob = encode(values)
+    # walk the self-delimiting chunks once, recording (control byte
+    # offset, first value index, value count) per chunk
+    spans: list[tuple[int, int, int]] = []
+    pos = filled = 0
+    n = len(blob)
+    while pos < n:
+        c = blob[pos]
+        if c < 128:
+            count, step = c + MIN_REPEAT, 2
+        else:
+            count, step = 256 - c, 1 + (256 - c)
+        spans.append((pos, filled, count))
+        filled += count
+        pos += step
+    starts = np.array([s[1] for s in spans], dtype=np.int64)
+    out: list[tuple[int, int]] = []
+    for m in marks:
+        if m >= filled or not spans:
+            out.append((n, 0))
+            continue
+        i = int(np.searchsorted(starts, m, side="right")) - 1
+        cpos, cfirst, _ = spans[i]
+        out.append((cpos, m - cfirst))
+    return blob, out
+
+
 def _emit_literals(out: bytearray, chunk: bytes) -> None:
     pos = 0
     while pos < len(chunk):

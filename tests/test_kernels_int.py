@@ -250,3 +250,36 @@ def test_rlev2_mostly_sorted_timestampish():
     vals = (base + np.cumsum(steps) + jitter).astype(np.int64)
     enc = _rt(vals)
     assert len(enc) < vals.size * 8 * 0.5
+
+
+def test_byterle_encode_with_marks_seek_contract():
+    # position (offset, used) must let a reader resume mid-stream: decode
+    # from the control byte at `offset`, drop `used` values, and get
+    # exactly values[m:]
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n = int(rng.integers(1, 3000))
+        # run-heavy + literal mix
+        vals = rng.integers(0, 4, n).astype(np.uint8)
+        vals[rng.random(n) < 0.3] = rng.integers(0, 256)
+        marks = sorted(set(int(m) for m in rng.integers(0, n, 8)))
+        blob, poss = byterle.encode_with_marks(vals, marks)
+        assert blob == byterle.encode(vals)
+        for m, (off, used) in zip(marks, poss):
+            tail = byterle.decode(memoryview(blob)[off:], n - m + used)
+            assert np.array_equal(tail[used:], vals[m:]), (trial, m)
+
+
+def test_bitfield_encode_with_marks_bit_offsets():
+    rng = np.random.default_rng(23)
+    flags = rng.random(5000) < 0.7
+    marks = [0, 1, 7, 8, 9, 63, 64, 501, 4999]
+    blob, poss = bitfield.encode_with_marks(flags, marks)
+    assert blob == bitfield.encode(flags)
+    n = len(flags)
+    for m, (off, used, bits) in zip(marks, poss):
+        assert bits == m % 8
+        nbytes_left = (n + 7) // 8 - m // 8 + used
+        packed_tail = byterle.decode(memoryview(blob)[off:], nbytes_left)
+        got = np.unpackbits(packed_tail[used:])[bits : bits + (n - m)]
+        assert np.array_equal(got.astype(bool), flags[m:]), m

@@ -516,10 +516,64 @@ def test_nested_spark_java_reader_cross_read(spark, tmp_path):
             assert r["deep"]["b"]["c"] == e["deep"]["b"]["c"]
 
 
-def test_nested_row_index_unsupported(tmp_path):
-    t = _nested_table(n=100)
-    with pytest.raises(NotImplementedError):
-        orcfile.write_orc(t, str(tmp_path / "x.orc"), row_index_stride=1000)
+@pytest.mark.parametrize("comp", ["NONE", "ZLIB"])
+def test_nested_row_index_pyarrow_full_read(tmp_path, comp):
+    """Row-indexed NESTED file: child streams are segmented through the
+    parents' present/length prefix sums, PRESENT stays one continuous
+    bit stream (arbitrary, non-multiple-of-8 group boundaries).  A full
+    continuous read by the C++ reader catches any boundary drift."""
+    t = _nested_table()
+    path = str(tmp_path / f"nested_ri_{comp}.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=1500, row_index_stride=504, compression=comp
+    )
+    got = pa.orc.ORCFile(path).read()
+    for name in t.schema.names:
+        a = got[name].combine_chunks()
+        b = t[name].combine_chunks()
+        if a.type != b.type:
+            a = a.cast(b.type)
+        assert a.equals(b), name
+
+
+def test_nested_row_index_java_reader_skips(spark, tmp_path):
+    """The reference Java reader must SEEK into row groups of a nested
+    file via our positions: a pushed-down point filter on the flat sort
+    column lands mid-stripe, and every nested column's values at those
+    rows must reconstruct exactly — wrong child positions (PRESENT bit
+    offsets, LENGTH run offsets, element-space windows) would surface as
+    shifted values or a reader exception."""
+    n = 60_000
+    t = _nested_table(n=n)
+    path = str(tmp_path / "nested_skip.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=30_000, row_index_stride=1000,
+        compression="ZLIB",
+    )
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    try:
+        df = spark.read.orc(path)
+        rows = df.filter("k >= 41003 and k < 41011").orderBy("k").collect()
+        assert [r["k"] for r in rows] == list(range(41003, 41011))
+        for r, i in zip(rows, range(41003, 41011)):
+            exp_tags = None if i % 13 == 0 else [f"t{j}" for j in range(i % 5)]
+            assert r["tags"] == exp_tags, i
+            if i % 11:
+                assert r["pt"]["x"] == float(i)
+                assert r["pt"]["y"] == (None if i % 7 == 0 else i * 2)
+            else:
+                assert r["pt"] is None
+            exp_m = None if i % 17 == 0 else {f"k{j}": j * i for j in range(i % 4)}
+            got_m = dict(r["m"]) if r["m"] is not None else None
+            assert got_m == exp_m, i
+            if i % 19 == 0:
+                assert r["deep"] is None
+            else:
+                assert list(r["deep"]["a"]) == [i, None, i + 1]
+                assert r["deep"]["b"]["c"] == f"s{i % 9}"
+        assert df.count() == n
+    finally:
+        spark.conf.unset("spark.sql.orc.filterPushdown")
 
 
 def test_union_cross_read(tmp_path):
