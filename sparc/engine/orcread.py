@@ -426,3 +426,244 @@ def _decode_orc_column(
             lo, hi, valid, n_rows, pa.decimal128(prec, scale)
         )
     raise NotImplementedError(f"orcread: type {tk}")
+
+
+# --- row-group seek (consumer side of the row index) -------------------------
+#
+# ``RecordReaderImpl.seekToRowEntry`` analog over reference-written
+# indexed files: parse each column's ROW_INDEX stream, consume the
+# per-entry position list in the reader's order (per stream: [compressed
+# block start, offset in block] when compressed else [stream offset],
+# then coder state — RLE: values used in run; bitfield: bytes used in
+# run + bits in byte), and decode ONLY the requested row groups.  Flat
+# leaf columns (the shapes the reference writer indexes per column kind
+# above); dictionary streams are stripe-level and therefore carry no
+# positions (StringDictionaryTreeReader.seek skips them).
+
+
+def _inflate_with_map(
+    data: bytes | memoryview, kind: str
+) -> tuple[bytes, "np.ndarray", "np.ndarray"]:
+    """_inflate, also returning (compressed, uncompressed) chunk start
+    offsets so a (block, in-block) position maps to an uncompressed
+    stream offset."""
+    if kind == "NONE":
+        b = bytes(data)
+        return b, np.array([0], np.int64), np.array([0], np.int64)
+    mv = memoryview(data)
+    out = bytearray()
+    pos = 0
+    c_starts: list[int] = []
+    u_starts: list[int] = []
+    while pos < len(mv):
+        c_starts.append(pos)
+        u_starts.append(len(out))
+        head = int.from_bytes(mv[pos : pos + 3], "little")
+        pos += 3
+        clen, original = head >> 1, head & 1
+        chunk = mv[pos : pos + clen]
+        pos += clen
+        if original:
+            out += chunk
+        elif kind == "ZLIB":
+            out += _zlib.decompress(bytes(chunk), -15)
+        elif kind == "SNAPPY":
+            size, _ = _varint(chunk, 0)
+            out += pa.Codec("snappy").decompress(bytes(chunk), size)
+        elif kind == "ZSTD":
+            out += pa.Codec("zstd").decompress(bytes(chunk), _zstd_content_size(chunk))
+        else:
+            raise NotImplementedError(f"orcread: codec {kind}")
+    return bytes(out), np.array(c_starts, np.int64), np.array(u_starts, np.int64)
+
+
+def _stream_coder(tk: str, skind: str, enc_kind: int) -> str:
+    """'bits' | 'rle' | 'raw' — what seek state the stream's coder
+    consumes (BitFieldReader / RunLength*Reader / InStream only)."""
+    if skind == "PRESENT" or (tk == "boolean" and skind == "DATA"):
+        return "bits"
+    if skind == "DATA" and (
+        tk in ("float", "double", "decimal")
+        or (tk in ("string", "binary", "varchar", "char") and enc_kind in (0, 2))
+    ):
+        return "raw"
+    return "rle"
+
+
+def _rle_signed(tk: str, skind: str) -> bool:
+    if skind == "DATA" and tk in ("byte", "short", "int", "long", "date", "timestamp"):
+        return True
+    return skind == "SECONDARY" and tk == "decimal"
+
+
+def read_orc_row_groups(
+    path: str, groups: list[int], columns: list[str] | None = None
+) -> pa.Table:
+    """Decode only the requested row groups (global, file-order indices
+    of ``rowIndexStride`` spans) of a row-indexed ORC file, seeking into
+    every stream via the file's own ROW_INDEX positions.  The selective
+    analog of :func:`read_orc`; flat leaf columns only."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = _parse_pb(data[-1 - ps_len : -1])
+    footer_len = ps[1][0]
+    kind = _KINDS[ps.get(2, [0])[0]]
+    footer = _parse_pb(_inflate(data[-1 - ps_len - footer_len : -1 - ps_len], kind))
+    stride = footer.get(8, [0])[0]
+    if not stride:
+        raise ValueError("read_orc_row_groups: file has no row index")
+    types = [_parse_pb(t) for t in footer[4]]
+    root = types[0]
+    subtypes = _packed_varints(root[2][0]) if 2 in root else []
+    names = [bytes(b).decode() for b in root.get(3, [])]
+    sel_names = names if columns is None else list(columns)
+    sel = [(i, names[i]) for i in range(len(names)) if names[i] in sel_names]
+    stripes = []
+    for s in footer.get(3, []):
+        sp = _parse_pb(s)
+        stripes.append(
+            {
+                "offset": sp[1][0],
+                "index_len": sp.get(2, [0])[0],
+                "data_len": sp[3][0],
+                "footer_len": sp[4][0],
+                "n_rows": sp[5][0],
+            }
+        )
+    want = set(groups)
+    col_chunks: dict[int, list[pa.Array]] = {i: [] for i, _ in sel}
+    g_base = 0
+    for st in stripes:
+        n_rows = st["n_rows"]
+        n_gr = (n_rows + stride - 1) // stride
+        local = [g - g_base for g in want if g_base <= g < g_base + n_gr]
+        g_base += n_gr
+        if not local:
+            continue
+        base = st["offset"]
+        sf = _parse_pb(
+            _inflate(
+                data[base + st["index_len"] + st["data_len"] :
+                     base + st["index_len"] + st["data_len"] + st["footer_len"]],
+                kind,
+            )
+        )
+        stream_pbs = [_parse_pb(x) for x in sf.get(1, [])]
+        encodings = [_parse_pb(x) for x in sf.get(2, [])]
+        writer_tz = bytes(sf[3][0]).decode() if 3 in sf else "UTC"
+        # stream payload spans + ROW_INDEX blobs, in file order
+        pos = base
+        per_col_raw: dict[int, list[tuple[str, bytes]]] = {}
+        row_index: dict[int, list[list[int]]] = {}
+        for stream in stream_pbs:
+            skind = _STREAM_KIND.get(stream.get(1, [0])[0], "?")
+            col = stream.get(2, [0])[0]
+            ln = stream.get(3, [0])[0]
+            blob = data[pos : pos + ln]
+            pos += ln
+            if skind == "ROW_INDEX":
+                ri = _parse_pb(_inflate(blob, kind))
+                entries = []
+                for e in ri.get(1, []):
+                    epb = _parse_pb(e)
+                    entries.append(
+                        _packed_varints(epb[1][0]) if 1 in epb else []
+                    )
+                row_index[col] = entries
+            elif skind in ("BLOOM_FILTER", "BLOOM_FILTER_UTF8", "?"):
+                continue
+            else:
+                per_col_raw.setdefault(col, []).append((skind, blob))
+        for i, _name in sel:
+            tid = subtypes[i]
+            type_pb = types[tid]
+            tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
+            if tk in ("struct", "list", "map", "union"):
+                raise NotImplementedError(
+                    "read_orc_row_groups: nested columns"
+                )
+            enc_kind = encodings[tid].get(1, [0])[0]
+            raw_streams = per_col_raw.get(tid, [])
+            inflated: dict[str, tuple] = {}
+            for skind, blob in raw_streams:
+                inflated[skind] = _inflate_with_map(blob, kind)
+            entries = row_index.get(tid, [])
+            for g in sorted(local):
+                rows_g = min(stride, n_rows - g * stride)
+                positions = list(entries[g]) if g < len(entries) else []
+                mini: dict[str, bytes] = {}
+
+                def take(count: int) -> list[int]:
+                    got, positions[:count] = positions[:count], []
+                    return got
+
+                lengths_g = None
+                for skind, _blob in raw_streams:
+                    # dictionary streams are stripe-level: no positions
+                    if skind == "DICTIONARY_DATA" or (
+                        skind == "LENGTH" and enc_kind in (1, 3)
+                    ):
+                        mini[skind] = inflated[skind][0]
+                        continue
+                    whole, c_starts, u_starts = inflated[skind]
+                    if kind == "NONE":
+                        (off,) = take(1)
+                    else:
+                        c_off, in_block = take(2)
+                        ci = int(np.searchsorted(c_starts, c_off, "right")) - 1
+                        off = int(u_starts[ci]) + in_block
+                    coder = _stream_coder(tk, skind, enc_kind)
+                    # value count this group needs from this stream
+                    if skind == "PRESENT":
+                        n_need = rows_g
+                    elif "PRESENT" in mini:
+                        n_need = int(
+                            bitfield.decode(mini["PRESENT"], rows_g).sum()
+                        )
+                    else:
+                        n_need = rows_g
+                    if coder == "bits":
+                        (used, bits) = take(2)
+                        nbits = used * 8 + bits + n_need
+                        flags = bitfield.decode(
+                            memoryview(whole)[off:], nbits
+                        )[used * 8 + bits :]
+                        mini[skind] = bitfield.encode(flags)
+                    elif coder == "rle":
+                        (used,) = take(1)
+                        enc_is_v1 = enc_kind in (0, 1)
+                        rle = rlev1 if enc_is_v1 else rlev2
+                        signed = _rle_signed(tk, skind)
+                        vals = rle.decode(
+                            memoryview(whole)[off:], used + n_need, signed=signed
+                        )[used:]
+                        if skind == "LENGTH":
+                            lengths_g = vals
+                        mini[skind] = rle.encode(vals, signed=signed)
+                    else:  # raw
+                        if tk in ("float", "double") and skind == "DATA":
+                            w = 8 if tk == "double" else 4
+                            mini[skind] = whole[off : off + n_need * w]
+                        elif skind == "DATA" and lengths_g is not None:
+                            mini[skind] = whole[
+                                off : off + int(lengths_g.sum())
+                            ]
+                        else:
+                            # decimal varint DATA (self-delimiting) or
+                            # string DATA before LENGTH was seen: slice
+                            # to end, the decoder consumes what it needs
+                            mini[skind] = whole[off:]
+                arr = _decode_orc_column(
+                    type_pb, mini, encodings[tid], rows_g, writer_tz
+                )
+                col_chunks[i].append(arr)
+    out_cols = []
+    out_names = []
+    for i, name in sel:
+        chunks = col_chunks[i]
+        out_names.append(name)
+        out_cols.append(
+            pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
+        )
+    return pa.table(dict(zip(out_names, out_cols)))

@@ -115,12 +115,14 @@ def decode(data: bytes | memoryview, n: int) -> np.ndarray:
         c = data[pos]
         pos += 1
         if c < 128:
-            run = c + MIN_REPEAT
+            # clamp: a seek-based decode may need fewer values than the
+            # final run/literal chunk holds
+            run = min(c + MIN_REPEAT, n - filled)
             out[filled : filled + run] = data[pos]
             pos += 1
             filled += run
         else:
-            lit = 256 - c
+            lit = min(256 - c, n - filled)
             out[filled : filled + lit] = np.frombuffer(data[pos : pos + lit], np.uint8)
             pos += lit
             filled += lit
