@@ -896,6 +896,46 @@ _ORC_CROSSREAD_SQL = (
 )
 
 
+def _orc_seek_crossread(spark, sf_dir):
+    """Consumer-side seek parity (RecordReaderImpl.seekToRowEntry analog,
+    RecordReaderImpl.java): the reference Java writer writes an indexed
+    ORC file from the documents table; our kernels seek into interior row
+    groups via the file's own ROW_INDEX positions and must reproduce the
+    full read's slices exactly."""
+    import glob
+    import tempfile
+
+    import pyarrow as pa
+
+    from sparc.engine import orcread
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").coalesce(1)
+    d = tempfile.mkdtemp(prefix="sparc_seek_") + "/orc"
+    docs.write.mode("overwrite").option("compression", "zlib").option(
+        "orc.row.index.stride", "1000"
+    ).orc(d)
+    path = glob.glob(d + "/*.orc")[0]
+    full = orcread.read_orc(path)
+    stride = 1000
+    n_groups = (full.num_rows + stride - 1) // stride
+    sel = sorted({1, n_groups // 2, n_groups - 1} & set(range(n_groups)))
+    got = orcread.read_orc_row_groups(path, sel)
+    exp = pa.concat_tables(
+        [full.slice(g * stride, stride) for g in sel]
+    )
+    mism = 0 if got.equals(exp) else 1
+    return spark.createDataFrame(
+        [(full.num_rows, int(got.num_rows == exp.num_rows and not mism))],
+        "n_rows long, seek_ok long",
+    )
+
+
+_ORC_SEEK_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS seek_ok "
+    "FROM documents"
+)
+
+
 def _prep_pipeline_documents(spark, sf_dir):
     """Composite training-data prep step — the realistic chain a corpus
     pass runs: quality filter (JVM expression score) -> exact dedup
@@ -1107,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _compact_roundtrip,
         "orc_crossread_documents": _orc_crossread_documents,
         "orc_nested_crossread": _orc_nested_crossread,
+        "orc_seek_crossread": _orc_seek_crossread,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -1152,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "rowgroup_prune_events": _rowgroup_prune_sql(),
         "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
         "orc_crossread_documents": _ORC_CROSSREAD_SQL,
+        "orc_seek_crossread": _ORC_SEEK_SQL,
         "orc_nested_crossread": _ORC_NESTED_CROSSREAD_SQL,
         "text_profile": _text_profile_sql(),
         "prep_pipeline_documents": _prep_pipeline_sql(),
