@@ -147,9 +147,15 @@ def test_orcfile_nested_fuzz(data):
                 for i in range(n)]
         arr = pa.array(vals, pa.list_(pa.struct([("a", pa_leaf)])))
     t = pa.table({"x": arr})
+    # also fuzz the row-indexed layout: child group windows come from
+    # parent present/length prefix sums, PRESENT stays one continuous
+    # bit stream — tiny strides maximize boundary cases
+    stride = draw(st.sampled_from([0, 8, 16]))
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "f.orc")
-        orcfile.write_orc(t, p, rows_per_stripe=max(n // 2, 1))
+        orcfile.write_orc(
+            t, p, rows_per_stripe=max(n // 2, 1), row_index_stride=stride
+        )
         got = pa.orc.ORCFile(p).read()
         a = got["x"].combine_chunks()
         b = t["x"].combine_chunks()
