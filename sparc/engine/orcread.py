@@ -478,10 +478,12 @@ def _inflate_with_map(
 
 
 def _stream_coder(tk: str, skind: str, enc_kind: int) -> str:
-    """'bits' | 'rle' | 'raw' — what seek state the stream's coder
-    consumes (BitFieldReader / RunLength*Reader / InStream only)."""
+    """'bits' | 'rle' | 'byte' | 'raw' — what seek state the stream's
+    coder consumes (BitFieldReader / RunLength*Reader / InStream)."""
     if skind == "PRESENT" or (tk == "boolean" and skind == "DATA"):
         return "bits"
+    if tk == "union" and skind == "DATA":
+        return "byte"  # byte-RLE TAG stream: (offset, used), like int RLE
     if skind == "DATA" and (
         tk in ("float", "double", "decimal")
         or (tk in ("string", "binary", "varchar", "char") and enc_kind in (0, 2))
@@ -494,6 +496,107 @@ def _rle_signed(tk: str, skind: str) -> bool:
     if skind == "DATA" and tk in ("byte", "short", "int", "long", "date", "timestamp"):
         return True
     return skind == "SECONDARY" and tk == "decimal"
+
+
+def _seek_mini_subtree(
+    type_id: int,
+    types: list[dict],
+    encodings: list[dict],
+    inflated_streams,
+    row_index: dict[int, list[list[int]]],
+    g: int,
+    n_node: int,
+    kind: str,
+    out: dict[int, dict[str, bytes]],
+) -> None:
+    """Build group-``g``-local mini streams for ``type_id``'s subtree by
+    seeking each node's streams via ITS OWN row-index positions, then
+    recursing with each child's group value count (present count for
+    struct children, summed lengths for list/map elements, per-variant
+    tag counts for unions) — the TreeReader seek recursion.  ``n_node``
+    is this node's value count in its own value space for the group.
+    The minis feed :func:`_decode_tree` unchanged."""
+    from ..kernels import byterle
+
+    type_pb = types[type_id]
+    tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
+    enc_kind = encodings[type_id].get(1, [0])[0]
+    entries = row_index.get(type_id, [])
+    positions = list(entries[g]) if g < len(entries) else []
+    mini: dict[str, bytes] = {}
+
+    def take(count: int) -> list[int]:
+        got, positions[:count] = positions[:count], []
+        return got
+
+    n_present = n_node
+    lengths_g = None
+    for skind, (whole, c_starts, u_starts) in inflated_streams(type_id):
+        # dictionary streams are stripe-level: no positions recorded
+        if skind == "DICTIONARY_DATA" or (skind == "LENGTH" and enc_kind in (1, 3)):
+            mini[skind] = whole
+            continue
+        if kind == "NONE":
+            (off,) = take(1)
+        else:
+            c_off, in_block = take(2)
+            ci = int(np.searchsorted(c_starts, c_off, "right")) - 1
+            off = int(u_starts[ci]) + in_block
+        coder = _stream_coder(tk, skind, enc_kind)
+        if skind == "PRESENT" or (tk == "union" and skind == "DATA"):
+            n_need = n_node  # row space of this node
+        else:
+            n_need = n_present  # non-null value space
+        if coder == "bits":
+            (used, bits) = take(2)
+            nbits = used * 8 + bits + n_need
+            flags = bitfield.decode(memoryview(whole)[off:], nbits)[
+                used * 8 + bits :
+            ]
+            mini[skind] = bitfield.encode(flags)
+            if skind == "PRESENT":
+                n_present = int(flags.sum())
+        elif coder == "byte":
+            (used,) = take(1)
+            vals = byterle.decode(memoryview(whole)[off:], used + n_need)[used:]
+            mini[skind] = byterle.encode(vals)
+        elif coder == "rle":
+            (used,) = take(1)
+            rle = rlev1 if enc_kind in (0, 1) else rlev2
+            signed = _rle_signed(tk, skind)
+            vals = rle.decode(
+                memoryview(whole)[off:], used + n_need, signed=signed
+            )[used:]
+            if skind == "LENGTH":
+                lengths_g = vals
+            mini[skind] = rle.encode(vals, signed=signed)
+        else:  # raw
+            if tk in ("float", "double") and skind == "DATA":
+                w = 8 if tk == "double" else 4
+                mini[skind] = whole[off : off + n_need * w]
+            elif skind == "DATA" and lengths_g is not None:
+                mini[skind] = whole[off : off + int(lengths_g.sum())]
+            else:
+                # decimal varint DATA (self-delimiting) or string DATA
+                # before LENGTH: slice to end, the decoder consumes what
+                # it needs
+                mini[skind] = whole[off:]
+    out[type_id] = mini
+    if tk not in ("struct", "list", "map", "union"):
+        return
+    subtypes = _packed_varints(type_pb[2][0]) if 2 in type_pb else []
+    if tk == "struct":
+        child_counts = [n_present] * len(subtypes)
+    elif tk == "union":
+        tags = byterle.decode(mini["DATA"], n_node) if n_node else np.zeros(0, np.uint8)
+        child_counts = [int((tags == i).sum()) for i in range(len(subtypes))]
+    else:  # list / map
+        total = int(lengths_g.sum()) if lengths_g is not None else 0
+        child_counts = [total] * len(subtypes)
+    for sid, cn in zip(subtypes, child_counts):
+        _seek_mini_subtree(
+            sid, types, encodings, inflated_streams, row_index, g, cn, kind, out
+        )
 
 
 def read_orc_row_groups(
@@ -575,87 +678,27 @@ def read_orc_row_groups(
                 continue
             else:
                 per_col_raw.setdefault(col, []).append((skind, blob))
+        inflate_cache: dict[int, list[tuple[str, tuple]]] = {}
+
+        def inflated_streams(col: int) -> list[tuple[str, tuple]]:
+            if col not in inflate_cache:
+                inflate_cache[col] = [
+                    (skind, _inflate_with_map(blob, kind))
+                    for skind, blob in per_col_raw.get(col, [])
+                ]
+            return inflate_cache[col]
+
         for i, _name in sel:
             tid = subtypes[i]
-            type_pb = types[tid]
-            tk = _TYPE_KINDS[type_pb.get(1, [0])[0]]
-            if tk in ("struct", "list", "map", "union"):
-                raise NotImplementedError(
-                    "read_orc_row_groups: nested columns"
-                )
-            enc_kind = encodings[tid].get(1, [0])[0]
-            raw_streams = per_col_raw.get(tid, [])
-            inflated: dict[str, tuple] = {}
-            for skind, blob in raw_streams:
-                inflated[skind] = _inflate_with_map(blob, kind)
-            entries = row_index.get(tid, [])
             for g in sorted(local):
                 rows_g = min(stride, n_rows - g * stride)
-                positions = list(entries[g]) if g < len(entries) else []
-                mini: dict[str, bytes] = {}
-
-                def take(count: int) -> list[int]:
-                    got, positions[:count] = positions[:count], []
-                    return got
-
-                lengths_g = None
-                for skind, _blob in raw_streams:
-                    # dictionary streams are stripe-level: no positions
-                    if skind == "DICTIONARY_DATA" or (
-                        skind == "LENGTH" and enc_kind in (1, 3)
-                    ):
-                        mini[skind] = inflated[skind][0]
-                        continue
-                    whole, c_starts, u_starts = inflated[skind]
-                    if kind == "NONE":
-                        (off,) = take(1)
-                    else:
-                        c_off, in_block = take(2)
-                        ci = int(np.searchsorted(c_starts, c_off, "right")) - 1
-                        off = int(u_starts[ci]) + in_block
-                    coder = _stream_coder(tk, skind, enc_kind)
-                    # value count this group needs from this stream
-                    if skind == "PRESENT":
-                        n_need = rows_g
-                    elif "PRESENT" in mini:
-                        n_need = int(
-                            bitfield.decode(mini["PRESENT"], rows_g).sum()
-                        )
-                    else:
-                        n_need = rows_g
-                    if coder == "bits":
-                        (used, bits) = take(2)
-                        nbits = used * 8 + bits + n_need
-                        flags = bitfield.decode(
-                            memoryview(whole)[off:], nbits
-                        )[used * 8 + bits :]
-                        mini[skind] = bitfield.encode(flags)
-                    elif coder == "rle":
-                        (used,) = take(1)
-                        enc_is_v1 = enc_kind in (0, 1)
-                        rle = rlev1 if enc_is_v1 else rlev2
-                        signed = _rle_signed(tk, skind)
-                        vals = rle.decode(
-                            memoryview(whole)[off:], used + n_need, signed=signed
-                        )[used:]
-                        if skind == "LENGTH":
-                            lengths_g = vals
-                        mini[skind] = rle.encode(vals, signed=signed)
-                    else:  # raw
-                        if tk in ("float", "double") and skind == "DATA":
-                            w = 8 if tk == "double" else 4
-                            mini[skind] = whole[off : off + n_need * w]
-                        elif skind == "DATA" and lengths_g is not None:
-                            mini[skind] = whole[
-                                off : off + int(lengths_g.sum())
-                            ]
-                        else:
-                            # decimal varint DATA (self-delimiting) or
-                            # string DATA before LENGTH was seen: slice
-                            # to end, the decoder consumes what it needs
-                            mini[skind] = whole[off:]
-                arr = _decode_orc_column(
-                    type_pb, mini, encodings[tid], rows_g, writer_tz
+                mini_per_col: dict[int, dict[str, bytes]] = {}
+                _seek_mini_subtree(
+                    tid, types, encodings, inflated_streams, row_index,
+                    g, rows_g, kind, mini_per_col,
+                )
+                arr = _decode_tree(
+                    tid, types, mini_per_col, encodings, rows_g, writer_tz
                 )
                 col_chunks[i].append(arr)
     out_cols = []

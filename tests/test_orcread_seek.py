@@ -90,3 +90,55 @@ def test_seek_unindexed_file_refused(spark, tmp_path):
     path = glob.glob(d + "/*.orc")[0]
     with pytest.raises((ValueError, Exception)):
         orcread.read_orc_row_groups(path, [0])
+
+
+@pytest.mark.parametrize("compression", ["none", "zlib"])
+def test_seek_nested_columns(spark, tmp_path, compression):
+    """Nested seek: each node in the subtree is seeked via its OWN
+    row-index positions, with child group value counts derived from the
+    parent's decoded PRESENT/LENGTH minis (TreeReader seek recursion).
+    Oracle: the reference Java writer's own nested indexed file."""
+    n = 50_000
+    df = (
+        spark.range(n).withColumnRenamed("id", "k")
+        .withColumn(
+            "arr",
+            F.when(F.pmod("k", F.lit(11)) == 0, None).otherwise(
+                F.array_repeat(F.col("k") * 2, F.pmod("k", F.lit(4)).cast("int"))
+            ),
+        )
+        .withColumn(
+            "st",
+            F.when(F.pmod("k", F.lit(13)) == 0, None).otherwise(
+                F.struct(
+                    (F.col("k") * 3).alias("a"),
+                    F.when(F.pmod("k", F.lit(3)) == 0, None)
+                    .otherwise(F.concat(F.lit("v"), F.col("k").cast("string")))
+                    .alias("b"),
+                )
+            ),
+        )
+        .withColumn(
+            "mp",
+            F.when(F.pmod("k", F.lit(17)) == 0, None).otherwise(
+                F.create_map(
+                    F.concat(F.lit("m"), F.pmod("k", F.lit(5)).cast("string")),
+                    F.col("k").cast("double"),
+                )
+            ),
+        )
+        .orderBy("k").coalesce(1)
+    )
+    d = str(tmp_path / f"nested_seek_{compression}")
+    df.write.mode("overwrite").option("compression", compression).option(
+        "orc.row.index.stride", "1000"
+    ).orc(d)
+    path = glob.glob(d + "/*.orc")[0]
+    full = orcread.read_orc(path)
+    for gsel in ([7, 23], [0], [49]):
+        got = orcread.read_orc_row_groups(path, gsel)
+        exp = pa.concat_tables([full.slice(g * 1000, 1000) for g in gsel])
+        for c in exp.column_names:
+            a = got.column(c).combine_chunks()
+            b = exp.column(c).combine_chunks()
+            assert a.equals(b), (compression, gsel, c)
