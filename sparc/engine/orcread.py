@@ -710,3 +710,132 @@ def read_orc_row_groups(
             pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
         )
     return pa.table(dict(zip(out_names, out_cols)))
+
+
+def _stats_from_pb(spb: dict) -> dict:
+    """ColumnStatistics protobuf -> the engine's sarg stats dict
+    ({min, max, n_values, n_nulls, *_trunc}).  Only the domains sarg can
+    compare are mapped (integer / double / string); anything else yields
+    a bounds-free dict, which sarg treats as CANNOT_SKIP — pruning stays
+    sound by construction."""
+    import struct as _struct
+
+    def szz(v: int) -> int:
+        return (v >> 1) ^ -(v & 1)
+
+    out: dict = {
+        "n_values": spb.get(1, [None])[0],
+        "n_nulls": 1 if spb.get(10, [0])[0] else 0,
+    }
+    if 2 in spb:  # IntegerStatistics (sint64 min/max)
+        ist = _parse_pb(spb[2][0])
+        if 1 in ist:
+            out["min"] = szz(ist[1][0])
+        if 2 in ist:
+            out["max"] = szz(ist[2][0])
+    elif 3 in spb:  # DoubleStatistics (fixed64 doubles)
+        dst = _parse_pb(spb[3][0])
+        if 1 in dst:
+            out["min"] = _struct.unpack("<d", int(dst[1][0]).to_bytes(8, "little"))[0]
+        if 2 in dst:
+            out["max"] = _struct.unpack("<d", int(dst[2][0]).to_bytes(8, "little"))[0]
+    elif 4 in spb:  # StringStatistics; lowerBound/upperBound (4/5) mark
+        # truncated bounds — map to the engine's lossy-bound flags
+        sst = _parse_pb(spb[4][0])
+        if 1 in sst:
+            out["min"] = bytes(sst[1][0]).decode("utf-8", "replace")
+        elif 4 in sst:
+            out["min"] = bytes(sst[4][0]).decode("utf-8", "replace")
+            out["min_trunc"] = True
+        if 2 in sst:
+            out["max"] = bytes(sst[2][0]).decode("utf-8", "replace")
+        elif 5 in sst:
+            out["max"] = bytes(sst[5][0]).decode("utf-8", "replace")
+            out["max_trunc"] = True
+    return out
+
+
+def read_orc_filtered(
+    path: str, predicate: tuple, columns: list[str] | None = None
+) -> tuple[pa.Table, int, int]:
+    """``pickRowGroups`` over a reference-written indexed file: evaluate
+    the engine's SearchArgument tree (engine/sarg.py) against each row
+    group's OWN ColumnStatistics parsed from the file's ROW_INDEX
+    streams, then seek-decode only the surviving groups
+    (RecordReaderImpl.pickRowGroups + seekToRowEntry with the roles
+    swapped: their file and statistics, our pruning and kernels).
+
+    Returns (table, total_groups, kept_groups).  The caller applies the
+    residual row-level filter; pruning may drop only groups the
+    statistics PROVE cannot match."""
+    from . import sarg as sarg_mod
+
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = _parse_pb(data[-1 - ps_len : -1])
+    footer_len = ps[1][0]
+    kind = _KINDS[ps.get(2, [0])[0]]
+    footer = _parse_pb(_inflate(data[-1 - ps_len - footer_len : -1 - ps_len], kind))
+    stride = footer.get(8, [0])[0]
+    if not stride:
+        raise ValueError("read_orc_filtered: file has no row index")
+    types = [_parse_pb(t) for t in footer[4]]
+    root = types[0]
+    subtypes = _packed_varints(root[2][0]) if 2 in root else []
+    names = [bytes(b).decode() for b in root.get(3, [])]
+    name_to_tid = dict(zip(names, subtypes))
+    pred_cols = {
+        c: name_to_tid[c] for c in sarg_mod.columns_of(predicate) if c in name_to_tid
+    }
+    keep_groups: list[int] = []
+    g_base = 0
+    n_total = 0
+    for s in footer.get(3, []):
+        sp = _parse_pb(s)
+        st_off, st_idx = sp[1][0], sp.get(2, [0])[0]
+        st_data, st_foot = sp[3][0], sp[4][0]
+        st_rows = sp[5][0]
+        n_gr = (st_rows + stride - 1) // stride
+        n_total += n_gr
+        sf = _parse_pb(
+            _inflate(
+                data[st_off + st_idx + st_data : st_off + st_idx + st_data + st_foot],
+                kind,
+            )
+        )
+        # per-column row-index entry stats for the predicate's columns
+        entry_stats: dict[str, list[dict]] = {}
+        pos = st_off
+        for stream in (_parse_pb(x) for x in sf.get(1, [])):
+            skind = _STREAM_KIND.get(stream.get(1, [0])[0], "?")
+            col = stream.get(2, [0])[0]
+            ln = stream.get(3, [0])[0]
+            if skind == "ROW_INDEX" and col in pred_cols.values():
+                ri = _parse_pb(_inflate(data[pos : pos + ln], kind))
+                name = names[subtypes.index(col)]
+                stats = []
+                for e in ri.get(1, []):
+                    epb = _parse_pb(e)
+                    stats.append(
+                        _stats_from_pb(_parse_pb(epb[2][0])) if 2 in epb else {}
+                    )
+                entry_stats[name] = stats
+            pos += ln
+        for g in range(n_gr):
+            col_stats = {
+                name: st[g]
+                for name, st in entry_stats.items()
+                if g < len(st) and st[g]
+            }
+            if sarg_mod.keep(predicate, col_stats):
+                keep_groups.append(g_base + g)
+        g_base += n_gr
+    if keep_groups:
+        table = read_orc_row_groups(path, keep_groups, columns=columns)
+    elif n_total:
+        # typed empty result: decode one group for the schema, keep 0 rows
+        table = read_orc_row_groups(path, [0], columns=columns).slice(0, 0)
+    else:
+        table = read_orc_row_groups(path, [], columns=columns)
+    return table, n_total, len(keep_groups)

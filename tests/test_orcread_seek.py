@@ -142,3 +142,25 @@ def test_seek_nested_columns(spark, tmp_path, compression):
             a = got.column(c).combine_chunks()
             b = exp.column(c).combine_chunks()
             assert a.equals(b), (compression, gsel, c)
+
+
+def test_filtered_read_prunes_and_matches(spark, tmp_path):
+    """pickRowGroups with roles swapped: the reference file's OWN
+    ColumnStatistics drive OUR SearchArgument; only surviving groups are
+    seek-decoded.  Soundness: result ⊇ the true matches; effectiveness:
+    a selective range prunes most groups."""
+    path = _write_java_orc(spark, tmp_path, "zlib")
+    full = orcread.read_orc(path)
+    pred = ("and", (">=", "k", 41_000), ("<", "k", 43_000))
+    got, n_total, n_kept = orcread.read_orc_filtered(path, pred)
+    assert n_total == 6 and 1 <= n_kept <= 2, (n_total, n_kept)
+    ks = got.column("k").to_pylist()
+    want = [k for k in full.column("k").to_pylist() if 41_000 <= k < 43_000]
+    assert set(want) <= set(ks)  # no true match lost
+    # string-stats pruning on the dictionary column keeps everything
+    # (every group holds every lang value) — sound, not effective
+    got2, _, kept2 = orcread.read_orc_filtered(path, ("=", "s_dict", "lang3"))
+    assert kept2 == 6
+    # an impossible range prunes all groups
+    got3, _, kept3 = orcread.read_orc_filtered(path, ("=", "k", -5))
+    assert kept3 == 0 and got3.num_rows == 0
