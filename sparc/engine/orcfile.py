@@ -468,6 +468,61 @@ def _rg_int_stats(vals: np.ndarray, n_rows: int, has_null: bool) -> bytes:
     return out
 
 
+_STRING_STAT_TRUNCATE = 1024  # chars, ColumnStatisticsImpl truncation limit
+
+
+def _rg_string_stats(
+    mn: bytes | None, mx: bytes | None, total_len: int, n_values: int,
+    has_null: bool,
+) -> bytes:
+    """ColumnStatistics with StringStatistics (minimum=1, maximum=2,
+    sum=3; lowerBound=4/upperBound=5 for over-limit bounds, matching
+    ColumnStatisticsImpl's truncation contract: lowerBound is a prefix
+    <= the true minimum; upperBound must compare > the true maximum, so
+    when the last kept char cannot be incremented without carry the
+    bound is omitted — legal, and merely unprunable)."""
+    out = _f_varint(1, n_values)
+    if n_values and mn is not None and mx is not None:
+        body = b""
+        s_mn = mn.decode("utf-8")
+        s_mx = mx.decode("utf-8")
+        if len(s_mn) <= _STRING_STAT_TRUNCATE:
+            body += _f_bytes(1, mn)
+        else:
+            body += _f_bytes(4, s_mn[:_STRING_STAT_TRUNCATE].encode("utf-8"))
+        if len(s_mx) <= _STRING_STAT_TRUNCATE:
+            body += _f_bytes(2, mx)
+        else:
+            kept = s_mx[: _STRING_STAT_TRUNCATE - 1]
+            last = s_mx[_STRING_STAT_TRUNCATE - 1]
+            if ord(last) < 0x10FFFF:
+                body += _f_bytes(
+                    5, (kept + chr(ord(last) + 1)).encode("utf-8")
+                )
+        body += _f_varint(3, _zz(total_len))
+        out += _f_bytes(4, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _rg_double_stats(vals: np.ndarray, has_null: bool) -> bytes:
+    """ColumnStatistics with DoubleStatistics (fixed64 min=1/max=2/sum=3)."""
+    import struct as _struct
+
+    out = _f_varint(1, int(vals.size))
+    if vals.size:
+        fin = vals[np.isfinite(vals)]
+        if fin.size == vals.size:  # NaN/inf bounds are not prunable
+            body = (
+                _varint((1 << 3) | 1) + _struct.pack("<d", float(vals.min()))
+                + _varint((2 << 3) | 1) + _struct.pack("<d", float(vals.max()))
+                + _varint((3 << 3) | 1) + _struct.pack("<d", float(vals.sum()))
+            )
+            out += _f_bytes(3, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
 def _encode_column_grouped(
     arr: pa.Array, bounds: list[tuple[int, int]], v11: bool
 ) -> tuple[list[tuple[int, list[bytes], int]], bytes, list[bytes]]:
@@ -559,6 +614,13 @@ def _encode_column_grouped(
             (_STREAM_DATA, [vals[vs(g)].tobytes() for g in range(n_groups)], _EXTRAS_RAW)
         )
         enc = _f_varint(1, _ENC_DIRECT)
+        stats = [
+            _rg_double_stats(
+                vals[vs(g)].astype(np.float64),
+                valid is not None and not valid[lo:hi].all(),
+            )
+            for g, (lo, hi) in enumerate(bounds)
+        ]
     elif pa.types.is_boolean(t):
         vals = nn.to_numpy(zero_copy_only=False)
         blob, marks = bitfield.encode_with_marks(vals, voffs[:-1])
@@ -590,6 +652,22 @@ def _encode_column_grouped(
                 _EXTRAS_RLE,
             )
         )
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            stats = []
+            for g, (lo, hi) in enumerate(bounds):
+                sub = bin_arr.slice(voffs[g], voffs[g + 1] - voffs[g])
+                if len(sub):
+                    mm = pa.compute.min_max(sub)
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                else:
+                    mn = mx = None
+                stats.append(
+                    _rg_string_stats(
+                        mn, mx, int(lengths[vs(g)].sum()),
+                        voffs[g + 1] - voffs[g],
+                        valid is not None and not valid[lo:hi].all(),
+                    )
+                )
     else:
         raise NotImplementedError(f"orcfile row-index: unsupported type {t}")
     if not stats:

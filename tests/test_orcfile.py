@@ -734,3 +734,51 @@ def test_char_varchar_orcread_and_length_guard(tmp_path):
             str(tmp_path / "bad2.orc"),
             type_overrides={"v": ("varchar", 3)},
         )
+
+
+def test_row_index_typed_stats_java_and_self_prune(spark, tmp_path):
+    """Row-group entries carry per-type statistics (Integer + String
+    with the 1024-char truncation contract + Double): the reference
+    Java reader accepts the file and answers pushed-down string/double
+    point filters exactly, and our own read_orc_filtered prunes row
+    groups of OUR file via those statistics."""
+    from sparc.engine import orcread
+
+    n = 20_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"w{i:07d}" for i in range(n)]),
+            "f": pa.array(np.arange(n) * 0.25),
+            "long_s": pa.array(
+                ["é" * 1500 if i % 2 else f"z{i}" for i in range(n)]
+            ),
+        }
+    )
+    path = str(tmp_path / "typed_stats.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=10_000, row_index_stride=1000,
+        compression="ZLIB",
+    )
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    try:
+        df = spark.read.orc(path)
+        rows = df.filter("s = 'w0014500'").collect()
+        assert len(rows) == 1 and rows[0]["k"] == 14500
+        rows = df.filter("f >= 1250.0 and f < 1251.0").orderBy("k").collect()
+        assert [r["k"] for r in rows] == [5000, 5001, 5002, 5003]
+        assert df.count() == n
+    finally:
+        spark.conf.unset("spark.sql.orc.filterPushdown")
+    tb, total, kept = orcread.read_orc_filtered(path, ("=", "s", "w0014500"))
+    assert total == 20 and kept == 1
+    assert "w0014500" in tb.column("s").to_pylist()
+    _, _, kept2 = orcread.read_orc_filtered(
+        path, ("and", (">=", "f", 1250.0), ("<", "f", 1500.0))
+    )
+    assert kept2 <= 3
+    # truncated bounds on >1024-char strings must stay sound: the probe
+    # exists only in row group 3, and lossy bounds may not lose it
+    _, _, kept3 = orcread.read_orc_filtered(path, ("=", "long_s", "z3500"))
+    got3, _, _ = orcread.read_orc_filtered(path, ("=", "long_s", "z3500"))
+    assert "z3500" in got3.column("long_s").to_pylist()
