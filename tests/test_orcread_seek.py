@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
@@ -164,3 +165,71 @@ def test_filtered_read_prunes_and_matches(spark, tmp_path):
     # an impossible range prunes all groups
     got3, _, kept3 = orcread.read_orc_filtered(path, ("=", "k", -5))
     assert kept3 == 0 and got3.num_rows == 0
+
+
+def test_murmur3_and_long_hash_match_java(spark):
+    """Byte-exact validation of the probe hashes against the live
+    reference classes (orc-core 2.2.2 in the running JVM)."""
+    import random
+
+    jvm = spark.sparkContext._jvm
+    M = jvm.org.apache.orc.util.Murmur3
+    rng = random.Random(7)
+    cases = [b"", b"a", b"hello world", bytes(8), bytes(range(256))]
+    cases += [rng.randbytes(rng.randrange(0, 64)) for _ in range(40)]
+    for b in cases:
+        assert orcread.murmur3_hash64(b) == M.hash64(bytearray(b)), b
+    bf = jvm.org.apache.orc.util.BloomFilter(1000, 0.01)
+    longs = [0, 1, -1, 2**62, -(2**62), 12345] + [
+        rng.randrange(-(2**63), 2**63) for _ in range(40)
+    ]
+    for v in longs:
+        bf.addLong(v)
+    words = np.array(list(bf.getBitSet()), dtype=np.int64).astype(np.uint64)
+    k = bf.getNumHashFunctions()
+    for v in longs:  # everything added must test positive through OUR probe
+        assert orcread._bloom_test_hash(words, k, orcread._orc_long_hash(v)), v
+    absent = [rng.randrange(-(2**63), 2**63) for _ in range(200)]
+    ours = [orcread._bloom_test_hash(words, k, orcread._orc_long_hash(v)) for v in absent]
+    theirs = [bool(bf.testLong(v)) for v in absent]
+    assert ours == theirs  # bit-identical decisions, incl. false positives
+
+
+def test_filtered_read_uses_reference_blooms(spark, tmp_path):
+    """A reference-written file with orc.bloom.filter.columns: equality
+    probes inside the min/max range but ABSENT from the data can only be
+    refuted by the bloom filters — kept == 0 proves our Murmur3/probe
+    reimplementation matches the writer's bit-for-bit (a wrong hash
+    would keep groups or, worse, drop true matches)."""
+    n = 60_000
+    df = (
+        spark.range(n).withColumnRenamed("id", "k")
+        # even numbers only: odd probes fall inside min/max but are absent
+        .withColumn("ev", F.col("k") * 2)
+        .withColumn(
+            "s", F.format_string("url-%08d", (F.col("k") * 2).cast("int"))
+        )
+        .orderBy("k").coalesce(1)
+    )
+    d = str(tmp_path / "bloomy")
+    (
+        df.write.mode("overwrite")
+        .option("compression", "zlib")
+        .option("orc.row.index.stride", "10000")
+        .option("orc.bloom.filter.columns", "ev,s")
+        .orc(d)
+    )
+    path = glob.glob(d + "/*.orc")[0]
+    # absent long probe within range: stats keep all 6 groups, blooms drop all
+    got, total, kept = orcread.read_orc_filtered(path, ("=", "ev", 50_001))
+    assert total == 6 and kept == 0, (total, kept)
+    # absent string probe within range
+    got2, _, kept2 = orcread.read_orc_filtered(path, ("=", "s", "url-00050001"))
+    assert kept2 == 0, kept2
+    # present values are NEVER refuted (soundness), and decode correctly
+    got3, _, kept3 = orcread.read_orc_filtered(path, ("=", "ev", 50_000))
+    assert kept3 >= 1
+    assert 50_000 in got3.column("ev").to_pylist()
+    got4, _, kept4 = orcread.read_orc_filtered(path, ("=", "s", "url-00050000"))
+    assert kept4 >= 1
+    assert "url-00050000" in got4.column("s").to_pylist()
