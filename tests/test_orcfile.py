@@ -782,3 +782,61 @@ def test_row_index_typed_stats_java_and_self_prune(spark, tmp_path):
     _, _, kept3 = orcread.read_orc_filtered(path, ("=", "long_s", "z3500"))
     got3, _, _ = orcread.read_orc_filtered(path, ("=", "long_s", "z3500"))
     assert "z3500" in got3.column("long_s").to_pylist()
+
+
+def test_bloom_bitsets_word_identical_to_java(spark, tmp_path):
+    """The strongest writer-side bloom oracle: our emitted bitset words
+    equal a live Java BloomFilter (same n/fpp) fed the same values, word
+    for word — then the whole loop closes: our writer's blooms prune our
+    consumer's reads of our file, and the Java reader still reads the
+    file exactly."""
+    from sparc.engine import orcfile as of, orcread
+
+    jvm = spark.sparkContext._jvm
+    n = 2000
+    vals = [f"key-{i*2:06d}" for i in range(n)]
+    ints = [i * 3 for i in range(n)]
+    for fpp in (0.05, 0.01):
+        jbf = jvm.org.apache.orc.util.BloomFilterUtf8(n, fpp)
+        for v in vals:
+            jbf.addBytes(bytearray(v.encode()), 0, len(v))
+        ours, k = of._orc_bloom_build(
+            [orcread.murmur3_hash64(v.encode()) for v in vals], n, fpp
+        )
+        assert k == jbf.getNumHashFunctions()
+        theirs = np.array(list(jbf.getBitSet()), np.int64).astype(np.uint64)
+        assert np.array_equal(ours, theirs), f"string bitset fpp={fpp}"
+        jbf2 = jvm.org.apache.orc.util.BloomFilterUtf8(n, fpp)
+        for v in ints:
+            jbf2.addLong(v)
+        ours2, k2 = of._orc_bloom_build(
+            [orcread._orc_long_hash(v) for v in ints], n, fpp
+        )
+        assert k2 == jbf2.getNumHashFunctions()
+        theirs2 = np.array(list(jbf2.getBitSet()), np.int64).astype(np.uint64)
+        assert np.array_equal(ours2, theirs2), f"long bitset fpp={fpp}"
+    # end-to-end: our file, our consumer, reference layout
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(20_000) * 2, pa.int64()),
+            "s": pa.array([f"u-{i*2:07d}" for i in range(20_000)]),
+        }
+    )
+    path = str(tmp_path / "bloomed.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=10_000, row_index_stride=1000,
+        compression="ZLIB", bloom_columns=["k", "s"],
+    )
+    df = spark.read.orc(path)  # Java reader accepts the bloomed file
+    assert df.count() == 20_000
+    assert df.filter("k = 20000").count() == 1
+    from sparc.engine import orcread as orv
+
+    # absent-but-in-range probes: only blooms can refute -> all pruned
+    _, total, kept = orv.read_orc_filtered(path, ("=", "k", 20_001))
+    assert total == 20 and kept == 0, (total, kept)
+    _, _, kept2 = orv.read_orc_filtered(path, ("=", "s", "u-0020001"))
+    assert kept2 == 0
+    # present probes never refuted
+    got, _, kept3 = orv.read_orc_filtered(path, ("=", "s", "u-0020000"))
+    assert kept3 >= 1 and "u-0020000" in got.column("s").to_pylist()
