@@ -468,7 +468,33 @@ def _rg_int_stats(vals: np.ndarray, n_rows: int, has_null: bool) -> bytes:
     return out
 
 
-_STRING_STAT_TRUNCATE = 1024  # chars, ColumnStatisticsImpl truncation limit
+_STRING_STAT_TRUNCATE = 1024  # UTF-8 bytes, ColumnStatisticsImpl truncation limit
+
+
+def _utf8_prefix(b: bytes, limit: int) -> bytes:
+    """Longest prefix of ``b`` of at most ``limit`` bytes that ends on a
+    UTF-8 codepoint boundary (back off over continuation bytes)."""
+    cut = limit
+    while cut > 0 and (b[cut] & 0xC0) == 0x80:
+        cut -= 1
+    return b[:cut]
+
+
+def _increment_bound(s: str) -> str | None:
+    """Smallest-effort string strictly greater than every string with
+    prefix ``s``: bump the last codepoint, skipping the surrogate gap
+    (U+D800–U+DFFF can't be UTF-8-encoded), carrying past U+10FFFF by
+    dropping the char and bumping the previous one.  ``None`` when every
+    char is U+10FFFF (no bound exists — legal to omit)."""
+    chars = list(s)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return "".join(chars[:i]) + chr(nxt)
+    return None
 
 
 def _rg_string_stats(
@@ -477,28 +503,26 @@ def _rg_string_stats(
 ) -> bytes:
     """ColumnStatistics with StringStatistics (minimum=1, maximum=2,
     sum=3; lowerBound=4/upperBound=5 for over-limit bounds, matching
-    ColumnStatisticsImpl's truncation contract: lowerBound is a prefix
+    ColumnStatisticsImpl's truncation contract — 1024 UTF-8 *bytes*,
+    backing off to a codepoint boundary: lowerBound is a prefix
     <= the true minimum; upperBound must compare > the true maximum, so
-    when the last kept char cannot be incremented without carry the
-    bound is omitted — legal, and merely unprunable)."""
+    the last kept codepoint is incremented skipping the surrogate gap;
+    when no increment exists the bound is omitted — legal, and merely
+    unprunable)."""
     out = _f_varint(1, n_values)
     if n_values and mn is not None and mx is not None:
         body = b""
-        s_mn = mn.decode("utf-8")
-        s_mx = mx.decode("utf-8")
-        if len(s_mn) <= _STRING_STAT_TRUNCATE:
+        if len(mn) <= _STRING_STAT_TRUNCATE:
             body += _f_bytes(1, mn)
         else:
-            body += _f_bytes(4, s_mn[:_STRING_STAT_TRUNCATE].encode("utf-8"))
-        if len(s_mx) <= _STRING_STAT_TRUNCATE:
+            body += _f_bytes(4, _utf8_prefix(mn, _STRING_STAT_TRUNCATE))
+        if len(mx) <= _STRING_STAT_TRUNCATE:
             body += _f_bytes(2, mx)
         else:
-            kept = s_mx[: _STRING_STAT_TRUNCATE - 1]
-            last = s_mx[_STRING_STAT_TRUNCATE - 1]
-            if ord(last) < 0x10FFFF:
-                body += _f_bytes(
-                    5, (kept + chr(ord(last) + 1)).encode("utf-8")
-                )
+            kept = _utf8_prefix(mx, _STRING_STAT_TRUNCATE).decode("utf-8")
+            ub = _increment_bound(kept)
+            if ub is not None:
+                body += _f_bytes(5, ub.encode("utf-8"))
         body += _f_varint(3, _zz(total_len))
         out += _f_bytes(4, body)
     out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
@@ -874,6 +898,14 @@ def write_orc(
                 f"exceeds {kind_name}({maxlen})"
             )
         node["orc_override"] = (kind_name, maxlen)
+    if bloom_columns:
+        unknown = sorted(set(bloom_columns) - set(table.schema.names))
+        if unknown:
+            raise ValueError(
+                f"bloom_columns: {unknown} not in schema "
+                f"{table.schema.names} — a typo here would silently emit "
+                "a file with no bloom streams"
+            )
     out = bytearray(b"ORC")
     header_len = 3
     stripe_infos = []

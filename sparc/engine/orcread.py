@@ -723,10 +723,12 @@ def _stats_from_pb(spb: dict) -> dict:
     def szz(v: int) -> int:
         return (v >> 1) ^ -(v & 1)
 
-    out: dict = {
-        "n_values": spb.get(1, [None])[0],
-        "n_nulls": 1 if spb.get(10, [0])[0] else 0,
-    }
+    out: dict = {"n_values": spb.get(1, [None])[0]}
+    # hasNull (field 10) is optional and absent in files written before it
+    # existed (e.g. some v0.11 writers): leave n_nulls UNKNOWN rather than
+    # defaulting to 0 — sarg must answer IS NULL conservatively, not NO.
+    if 10 in spb:
+        out["n_nulls"] = 1 if spb[10][0] else 0
     if 2 in spb:  # IntegerStatistics (sint64 min/max)
         ist = _parse_pb(spb[2][0])
         if 1 in ist:

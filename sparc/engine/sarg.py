@@ -128,9 +128,14 @@ def _eval_leaf(pred: tuple, stats: dict | None, probe=None) -> frozenset:
         return CANNOT_SKIP
     op = pred[0]
     n_values = stats.get("n_values")
-    n_nulls = stats.get("n_nulls") or 0
-    has_null = n_nulls > 0
+    # n_nulls absent (legacy files without hasNull) => null presence is
+    # UNKNOWN: is_null cannot be refuted, and comparisons must assume a
+    # null may be present (conservative — only ever widens the answer).
+    n_nulls = stats.get("n_nulls")
+    has_null = True if n_nulls is None else n_nulls > 0
     if op == "is_null":
+        if n_nulls is None:
+            return CANNOT_SKIP
         if not has_null:
             return NO
         return YES if n_values == 0 else YES_NO

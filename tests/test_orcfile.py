@@ -840,3 +840,58 @@ def test_bloom_bitsets_word_identical_to_java(spark, tmp_path):
     # present probes never refuted
     got, _, kept3 = orv.read_orc_filtered(path, ("=", "s", "u-0020000"))
     assert kept3 >= 1 and "u-0020000" in got.column("s").to_pylist()
+
+
+def test_string_stats_surrogate_boundary_truncation(tmp_path):
+    """ADVICE r3 (medium): a string whose 1024-byte truncation point lands
+    on U+D7FF must not crash the row-index writer — the incremented upper
+    bound would fall in the surrogate gap; the writer must skip to U+E000
+    (still a valid strictly-greater bound)."""
+    danger = "a" * 1023 + "퟿" + "tail-beyond-truncation" * 10
+    t = pa.table({"s": pa.array([danger, "zz"] * 64, pa.string())})
+    p = tmp_path / "surrogate.orc"
+    orcfile.write_orc(t, str(p), row_index_stride=8)  # crashed before fix
+    got = pa.orc.ORCFile(str(p)).read()
+    assert got["s"].combine_chunks().equals(t["s"].combine_chunks())
+
+
+def test_string_stats_truncate_on_utf8_bytes(tmp_path):
+    """ADVICE r3 (low): truncation limit is 1024 UTF-8 *bytes* per the
+    reference ColumnStatisticsImpl, not 1024 chars — a 600-char multibyte
+    string (1800 bytes) must get truncated lowerBound/upperBound, on a
+    codepoint boundary."""
+    mn = "é" * 600              # 1200 bytes, 600 chars
+    mx = "中" * 600              # 1800 bytes, 600 chars
+    blob = orcfile._rg_string_stats(
+        mn.encode(), mx.encode(), 3000, 4, False
+    )
+    from sparc.engine.orcread import _parse_pb
+    sst = _parse_pb(_parse_pb(blob)[4][0])
+    assert 1 not in sst and 4 in sst            # lowerBound, not minimum
+    lb = bytes(sst[4][0])
+    assert len(lb) <= 1024
+    lb.decode("utf-8")                          # codepoint boundary held
+    assert 2 not in sst and 5 in sst            # upperBound, not maximum
+    ub = bytes(sst[5][0]).decode("utf-8")
+    assert ub > mx                              # strictly greater bound
+
+
+def test_increment_bound_edge_cases():
+    assert orcfile._increment_bound("ab") == "ac"
+    # U+D7FF bumps past the surrogate gap
+    assert orcfile._increment_bound("a퟿") == "a\ue000"
+    # U+10FFFF carries into the previous char
+    assert orcfile._increment_bound("a\U0010ffff") == "b"
+    # all-max string has no bound
+    assert orcfile._increment_bound("\U0010ffff\U0010ffff") is None
+
+
+def test_bloom_columns_typo_raises(tmp_path):
+    """ADVICE r3 (low): unknown bloom_columns entries must raise, not
+    silently emit a bloom-less file."""
+    t = pa.table({"s": pa.array(["x", "y"]), "v": pa.array([1, 2])})
+    with pytest.raises(ValueError, match="bloom_columns"):
+        orcfile.write_orc(
+            t, str(tmp_path / "x.orc"), bloom_columns=["s", "vv"],
+            row_index_stride=8,
+        )

@@ -215,3 +215,32 @@ def test_from_range():
     assert sarg.from_range("c", 1, None) == (">=", "c", 1)
     assert sarg.from_range("c", None, 5) == ("<=", "c", 5)
     assert sarg.keep(sarg.from_range("c", None, None), {"c": INT})
+
+
+def test_absent_has_null_is_conservative():
+    """ADVICE r3: legacy files written before hasNull existed omit field
+    10 — null presence is UNKNOWN, so IS NULL must not be refuted and
+    comparisons must keep the null possibility open."""
+    s = {"min": 1, "max": 9, "n_values": 10}   # no n_nulls key at all
+    assert sarg.evaluate(("is_null", "c"), {"c": s}) == CANNOT_SKIP
+    # = outside [min,max] may still skip (null rows don't match =) ...
+    assert sarg.evaluate(("=", "c", 99), {"c": s}) in (NO, NO_NULL)
+    # ... but a definite YES must be softened by the possible null
+    hit = {"min": 5, "max": 5, "n_values": 10}
+    assert sarg.evaluate(("=", "c", 5), {"c": hit}) in (YES_NULL, YES_NO, CANNOT_SKIP)
+
+
+def test_stats_from_pb_absent_hasnull_left_unknown():
+    from sparc.engine.orcread import _parse_pb, _stats_from_pb
+    from sparc.engine.orcfile import _f_varint, _f_bytes, _varint
+
+    def zz(v):
+        return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+    body = _f_varint(1, zz(3)) + _f_varint(2, zz(7))
+    blob = _f_varint(1, 10) + _f_bytes(2, body)   # no field 10
+    st = _stats_from_pb(_parse_pb(blob))
+    assert "n_nulls" not in st
+    assert st["min"] == 3 and st["max"] == 7
+    blob10 = blob + _varint(10 << 3) + b"\x00"
+    assert _stats_from_pb(_parse_pb(blob10))["n_nulls"] == 0
