@@ -93,6 +93,8 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for the driver's single-JSON-line contract
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
@@ -424,9 +426,8 @@ def main() -> None:
     extras["encode_gbps_input_best"] = round(raw / min(inp_walls) / 1e9, 4)
     extras["encode_gbps_pyscan_best"] = round(raw / min(pys_walls) / 1e9, 4)
 
-    print(
-        json.dumps(
-            {
+    result = (
+        {
                 "metric": "pages_encode_gbps",
                 # headline = the faster of the two shuffle-free strategies
                 # ("input": JVM scan feeds workers via Arrow; "pyscan":
@@ -456,9 +457,19 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 **extras,
-            }
-        )
+        }
     )
+    line = json.dumps(result)
+    # The driver parses the LAST stdout line and may truncate long tails
+    # (BENCH_r03 recorded parsed:null from a mid-record cut).  Defend both
+    # ways: persist the full record to a file, then emit the JSON as the
+    # final stdout line — preceded by a newline so a progress-bar \r
+    # remnant can't prepend garbage — and flush before exit.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_RESULT.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
