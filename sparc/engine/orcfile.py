@@ -1159,7 +1159,11 @@ def _orc_bloom_build(hashes: list[int], n_expected: int, fpp: float) -> tuple[np
 def _orc_bloom_hashes(arr: pa.Array) -> list[int] | None:
     """Per-value 64-bit bloom hashes for a non-null array, matching the
     writer's add* dispatch: strings/binary -> Murmur3.hash64(bytes),
-    ints/dates -> the Thomas-Wang long mix.  None = unsupported type."""
+    ints/dates -> the Thomas-Wang long mix, doubles ->
+    addLong(doubleToLongBits) (BloomFilter.addDouble — bitsets validated
+    word-identical to a live Java BloomFilterUtf8), timestamps ->
+    addLong(UTC epoch millis), decimals -> addString(HiveDecimal
+    plain form, trailing zeros stripped).  None = unsupported type."""
     from . import orcread as _orcread
 
     t = arr.type
@@ -1171,6 +1175,23 @@ def _orc_bloom_hashes(arr: pa.Array) -> list[int] | None:
     if pa.types.is_integer(t) or pa.types.is_date32(t):
         vals = stripe_mod._arrow_nonnull_int64(arr)
         return [_orcread._orc_long_hash(int(v)) for v in vals]
+    if pa.types.is_floating(t):
+        vals = np.asarray(arr.cast(pa.float64()), np.float64)
+        bits = vals.view(np.int64).copy()
+        # Double.doubleToLongBits canonicalizes every NaN payload
+        bits[np.isnan(vals)] = 0x7FF8000000000000
+        return [_orcread._orc_long_hash(int(b)) for b in bits]
+    if pa.types.is_timestamp(t):
+        us = np.asarray(arr.cast(pa.timestamp("us")).view(pa.int64()), np.int64)
+        millis = np.floor_divide(us, 1000)
+        return [_orcread._orc_long_hash(int(m)) for m in millis]
+    if pa.types.is_decimal(t):
+        return [
+            _orcread.murmur3_hash64(
+                _orcread._orc_decimal_str(v.as_py()).encode("utf-8")
+            )
+            for v in arr
+        ]
     return None
 
 

@@ -143,6 +143,16 @@ def _eval_leaf(pred: tuple, stats: dict | None, probe=None) -> frozenset:
         return IS_NULL  # comparisons over an all-null region yield null
     lo, hi = stats.get("min"), stats.get("max")
     if lo is None or hi is None:
+        # No comparable bounds (e.g. timestamp/decimal statistics the
+        # reader doesn't map) — a bloom filter can still refute equality:
+        # probe(v) False means v is definitely absent from the region.
+        if probe is not None and op == "=" and not probe(pred[2]):
+            return _with_null(NO, has_null)
+        if (
+            probe is not None and op == "in" and pred[2]
+            and not any(probe(v) for v in pred[2])
+        ):
+            return _with_null(NO, has_null)
         return CANNOT_SKIP
     try:
         if op == "in":

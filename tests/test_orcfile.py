@@ -895,3 +895,94 @@ def test_bloom_columns_typo_raises(tmp_path):
             t, str(tmp_path / "x.orc"), bloom_columns=["s", "vv"],
             row_index_stride=8,
         )
+
+
+def test_bloom_double_bitsets_word_identical_to_java(spark, tmp_path):
+    """Round-3 gap: BloomFilter.addDouble parity — our
+    doubleToLongBits -> Thomas-Wang path must equal a live Java
+    BloomFilterUtf8 fed the same doubles, word for word (incl. the
+    canonical-NaN and -0.0 bit patterns)."""
+    import struct as _struct
+    from sparc.engine import orcfile as of, orcread
+
+    jvm = spark.sparkContext._jvm
+    vals = [i * 0.5 - 37.25 for i in range(800)] + [
+        float("nan"), float("inf"), float("-inf"), -0.0, 0.0,
+    ]
+    for fpp in (0.05, 0.01):
+        jbf = jvm.org.apache.orc.util.BloomFilterUtf8(len(vals), fpp)
+        for v in vals:
+            jbf.addDouble(float(v))
+        hashes = of._orc_bloom_hashes(pa.array(vals, pa.float64()))
+        ours, k = of._orc_bloom_build(hashes, len(vals), fpp)
+        assert k == jbf.getNumHashFunctions()
+        theirs = np.array(list(jbf.getBitSet()), np.int64).astype(np.uint64)
+        assert np.array_equal(ours, theirs), f"double bitset fpp={fpp}"
+
+
+def test_bloom_double_end_to_end_prune(tmp_path):
+    """Our writer emits double blooms; read_orc_filtered refutes an
+    absent-but-in-range double probe via the bloom alone, zero matches
+    lost on present probes."""
+    from sparc.engine import orcread as orv
+
+    n = 8000
+    t = pa.table({"x": pa.array(np.arange(n) * 2.0, pa.float64())})
+    path = str(tmp_path / "dbloom.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=4000, row_index_stride=1000,
+        compression="ZLIB", bloom_columns=["x"], bloom_fpp=0.001,
+    )
+    # odd value: inside [min,max] everywhere, absent everywhere
+    _, total, kept = orv.read_orc_filtered(path, ("=", "x", 3.0))
+    assert total == 8 and kept == 0, (total, kept)
+    got, _, kept2 = orv.read_orc_filtered(path, ("=", "x", 6000.0))
+    assert kept2 >= 1 and 6000.0 in got.column("x").to_pylist()
+
+
+def test_bloom_ts_decimal_java_written_prune(spark, tmp_path):
+    """Role-swapped: the reference Java writer's own timestamp/decimal/
+    double bloom streams refute our absent probes (forms validated
+    against the live writer: ts=addLong(millis), dec=addString of the
+    trailing-zero-stripped plain string)."""
+    import glob
+    import datetime as dt
+    from decimal import Decimal
+    import pandas as pd
+    from sparc.engine import orcread as orv
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "d": np.arange(n) * 2.0,
+        "ts": pd.to_datetime(
+            1_600_000_000_000 + np.arange(n) * 61_000, unit="ms"
+        ),
+        "dec": [Decimal(f"{i * 2}.{i % 100:02d}00") for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("dec", df["dec"].cast("decimal(20,4)"))
+    path = str(tmp_path / "jbloom")
+    (df.coalesce(1).write.mode("overwrite")
+       .option("orc.bloom.filter.columns", "d,ts,dec")
+       .option("orc.row.index.stride", "1000").orc(path))
+    f = glob.glob(path + "/part*.orc")[0]
+
+    # absent double (odd) -> fully pruned; present -> kept, value found
+    _, total, kept = orv.read_orc_filtered(f, ("=", "d", 3.0))
+    assert total == 4 and kept == 0, (total, kept)
+    got, _, k2 = orv.read_orc_filtered(f, ("=", "d", 4000.0))
+    assert k2 >= 1 and 4000.0 in got.column("d").to_pylist()
+
+    # absent timestamp (off-grid millis) -> pruned via bloom alone
+    absent_ts = dt.datetime.utcfromtimestamp(1_600_000_000.5)
+    _, _, kt = orv.read_orc_filtered(f, ("=", "ts", absent_ts))
+    assert kt == 0
+    present_ts = dt.datetime.utcfromtimestamp(1_600_000_061)
+    got_t, _, kt2 = orv.read_orc_filtered(f, ("=", "ts", present_ts))
+    assert kt2 >= 1
+
+    # absent decimal -> pruned; present decimal (scale-insensitive) kept
+    _, _, kd = orv.read_orc_filtered(f, ("=", "dec", Decimal("3.1400")))
+    assert kd == 0
+    got_d, _, kd2 = orv.read_orc_filtered(f, ("=", "dec", Decimal("2.01")))
+    assert kd2 >= 1
