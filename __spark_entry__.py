@@ -554,11 +554,29 @@ def _ivf_topk(spark, sf_dir):
 
 
 def _embedding_dups(spark, sf_dir):
+    """Flagship banded-LSH near-dup surface.  The synthetic embeddings
+    are i.i.d. unit vectors (max pairwise cosine ~0.51), so to make the
+    row-count signal non-trivial the query plants deterministic
+    near-duplicates: every 10th vector gets a perturbed twin
+    (x_i + 0.05*sin(7*vec_id + i), cosine 0.958-0.974 vs its source),
+    and the advertised 0.95 threshold must recover exactly those planted
+    pairs through the banded LSH + exact-rescore pipeline."""
     from sparc.ops import similarity
 
-    return similarity.embedding_cosine_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + F.lit(0.05) * F.sin(F.col("vec_id") * 7 + i),
+        ).alias("embedding"),
     )
+    aug = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(planted)
+    return similarity.embedding_cosine_dups(
+        aug, threshold=0.95
+    ).orderBy("id_a", "id_b")
 
 
 def _embedding_dups_exact(spark, sf_dir):

@@ -145,8 +145,16 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
-    """Candidate near-dup pairs: band-bucket join over MinHash signatures."""
+    """Candidate near-dup pairs: band-bucket join over MinHash signatures.
+
+    ``bucket_cap`` is the hot-bucket skew guard (same pattern as
+    embedding_cosine_dups): a mass-duplicated document — common in crawl
+    data — piles identical signatures into one band bucket and makes the
+    self-join quadratic there; buckets above the cap are dropped via a
+    broadcast anti-join before any pairing happens.  At 10^12 docs this
+    bounds the worst bucket's pair count at cap^2 instead of dups^2."""
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
     r = k // bands
     band_frames = []
@@ -160,6 +168,12 @@ def minhash_lsh_candidates(
     buckets = band_frames[0]
     for f in band_frames[1:]:
         buckets = buckets.unionAll(f)
+    hot = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+    )
+    buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -144,3 +144,24 @@ def test_candidates_deduped_across_bands(vectors):
     )
     pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
     assert len(pairs) == len(set(pairs))
+
+
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    """Round-3 nit: a mass-duplicated document (common in crawl data)
+    must not make a MinHash band bucket quadratic — with a cap below the
+    pile size the pile contributes zero candidate pairs, while distinct
+    near-dup pairs elsewhere are unaffected."""
+    from sparc.ops import dedup
+
+    pile = [(i, "the same spam page body repeated verbatim") for i in range(60)]
+    near = [
+        (100, "a genuinely unique document about owls and rivers"),
+        (101, "a genuinely unique document about owls and rivers!"),
+    ]
+    df = spark.createDataFrame(pile + near, "doc_id long, text string")
+    capped = dedup.minhash_lsh_candidates(df, bucket_cap=20)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got          # the real near-dup pair survives
+    assert all(a >= 100 for a, _ in got)  # the pile contributed nothing
+    uncapped = dedup.minhash_lsh_candidates(df, bucket_cap=10_000)
+    assert uncapped.count() >= 60 * 59 // 2  # cap was the only difference
