@@ -247,13 +247,38 @@ def completed_stripes(
     not silently reuse stripe ids for different content ("input" strategy
     ids are positional, so this check is what makes its resume safe).
 
-    Driver-side list wrapper over :func:`completed_stripes_df` — for the
-    "input" strategy (whose worker-local ids can't be anti-joined before
-    they exist) and tests; the batch resume path uses the DataFrame."""
+    Driver-side list wrapper over :func:`completed_stripes_df` — for
+    TESTS AND DIAGNOSTICS ONLY: no resume path collects ids to the driver
+    anymore (at 10^7 stripes a frozenset of Python ints is ~1 GiB of
+    driver heap)."""
     df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
     if df is None:
         return []
     return [r[0] for r in df.collect()]
+
+
+def completed_groups_df(
+    spark: SparkSession, out_dir: str, fingerprint: str | None = None,
+    group_col: str = "__sparc_done_group",
+) -> DataFrame | None:
+    """Distinct completed GROUPS (``stripe_id DIV INPUT_SPLIT_SPACE`` =
+    the input partition id / scan-unit index) — the plan-side resume key
+    for the positional-id strategies.
+
+    Why group granularity is exact, not approximate: one input partition
+    (or one batch of scan units) is processed by exactly one task, and
+    that task's manifest rows — every stripe's streams/FOOTER it produced
+    — commit atomically through the parquet task-commit protocol.  So a
+    group with ANY committed footer has ALL its footers committed, and a
+    broadcast anti-join on the group id skips exactly the work that is
+    done.  The done set never touches the driver: it flows from the
+    footer scan into a broadcast exchange built executor-side."""
+    df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
+    if df is None:
+        return None
+    return df.select(
+        F.expr(f"{part_mod.STRIPE_COL} DIV {INPUT_SPLIT_SPACE}").alias(group_col)
+    ).distinct()
 
 
 def run_encode(
@@ -301,28 +326,46 @@ def run_encode(
     spark = df.sparkSession
 
     if strategy == "input":
-        done = (
-            frozenset(completed_stripes(spark, out_dir, fingerprint=fingerprint))
-            if resume
-            else frozenset()
-        )
+        src = df
+        skipped = 0
+        if resume:
+            done_df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
+            if done_df is not None:
+                skipped = done_df.count()
+                if skipped:
+                    # Plan-side resume with NO driver-side id set: tag each
+                    # row with its scan partition id (a narrow projection —
+                    # evaluated in the same stage the encoder runs in, so
+                    # it equals TaskContext.partitionId() there) and
+                    # broadcast-anti-join against the completed groups.
+                    # Partition-task commit atomicity makes group
+                    # granularity exact (see completed_groups_df).
+                    groups = completed_groups_df(
+                        spark, out_dir, fingerprint=fingerprint
+                    )
+                    src = (
+                        df.withColumn("__sparc_pid", F.spark_partition_id())
+                        .join(
+                            F.broadcast(groups),
+                            F.col("__sparc_pid") == F.col("__sparc_done_group"),
+                            "left_anti",
+                        )
+                        .drop("__sparc_pid")
+                    )
         fn = _encode_partition_factory(
             codec, sort_within, fingerprint, bloom_columns, fsst,
             input_split_mode=True,
-            # Broadcast: shipped once per executor, not per task closure —
-            # a 10^7-id set in the closure would be re-pickled per task
-            done_stripes=spark.sparkContext.broadcast(done),
             rows_per_stripe=target_rows_per_stripe,
             row_index_stride=row_index_stride,
             sink_dir=sink_dir,
         )
         (
-            df.mapInArrow(fn, schema=STREAMS_SCHEMA)
+            src.mapInArrow(fn, schema=STREAMS_SCHEMA)
             .write.mode("append")
             .option("compression", "uncompressed")  # blobs are already zstd
             .parquet(out_dir)
         )
-        return {"n_stripes": None, "skipped": len(done), "out_dir": out_dir}
+        return {"n_stripes": None, "skipped": skipped, "out_dir": out_dir}
 
     if strategy == "lang_salted":
         staged, total = part_mod.with_lang_salted_stripes(
@@ -359,6 +402,96 @@ def run_encode(
     # top is pure CPU on incompressible data (both writing and reading)
     out.write.mode("append").option("compression", "uncompressed").parquet(out_dir)
     return {"n_stripes": n_stripes, "skipped": skipped, "out_dir": out_dir}
+
+
+# unit index = fidx * UNIT_SPACE + unit_within_file: identical ids whether
+# planning ran on the driver or distributed, and unique as long as
+# fidx < 2^26 and units-per-file < 2^20 (sid = idx * 2^16 stays in int64)
+UNIT_SPACE = 1 << 20
+
+
+def _pack_units(fidx: int, num_row_groups: int, rg_rows, per: int):
+    """Greedy row-group packing for one file -> [(idx, rg_lo, rg_hi)].
+    ``rg_rows``: callable g -> rows in row group g (footer metadata)."""
+    units = []
+    lo, acc, u = 0, 0, 0
+    for g in range(num_row_groups):
+        acc += rg_rows(g)
+        if acc >= per:
+            units.append((fidx * UNIT_SPACE + u, lo, g + 1))
+            u += 1
+            lo, acc = g + 1, 0
+    if lo < num_row_groups:
+        units.append((fidx * UNIT_SPACE + u, lo, num_row_groups))
+    return units
+
+
+def _plan_units(
+    spark: SparkSession, files: list[str], per: int,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """Scan-unit plan as a DataFrame [idx, path, rg_lo, rg_hi] with ~per
+    rows per unit.  Footer-metadata only (row-group row counts; no data
+    pages); on an Iceberg table the manifest carries the same counts with
+    zero file opens.
+
+    Planning is itself distributed above 64 files: footer reads fan out
+    over a paths DataFrame via mapInArrow, so planning cost is
+    parallel-flat in file count instead of a sequential driver loop
+    (round-3 item: minutes of driver I/O at 10^6 files).  Unit ids are
+    identical in both modes (fidx * UNIT_SPACE + unit-within-file), so
+    resume works across planner modes."""
+    if len(files) >= 1 << 26:
+        raise ValueError(f"{len(files)} files exceeds the 2^26 unit id space")
+    if distributed is None:
+        distributed = len(files) > 64
+    schema = "idx long, path string, rg_lo int, rg_hi int"
+    if not distributed:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for fidx, path in enumerate(files):
+            md = pq.ParquetFile(path).metadata
+            rows.extend(
+                (idx, path, lo, hi)
+                for idx, lo, hi in _pack_units(
+                    fidx, md.num_row_groups,
+                    lambda g, _md=md: _md.row_group(g).num_rows, per,
+                )
+            )
+        return spark.createDataFrame(rows, schema)
+
+    files_df = spark.createDataFrame(list(enumerate(files)), "fidx long, path string")
+    n_parts = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
+
+    def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            idxs, paths, los, his = [], [], [], []
+            for fidx, path in zip(
+                b.column("fidx").to_pylist(), b.column("path").to_pylist()
+            ):
+                md = pq.ParquetFile(path).metadata
+                for idx, lo, hi in _pack_units(
+                    fidx, md.num_row_groups,
+                    lambda g, _md=md: _md.row_group(g).num_rows, per,
+                ):
+                    idxs.append(idx)
+                    paths.append(path)
+                    los.append(lo)
+                    his.append(hi)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idxs, pa.int64()),
+                    pa.array(paths, pa.string()),
+                    pa.array(los, pa.int32()),
+                    pa.array(his, pa.int32()),
+                ],
+                names=["idx", "path", "rg_lo", "rg_hi"],
+            )
+
+    return files_df.repartition(n_parts, "fidx").mapInArrow(plan, schema)
 
 
 def run_encode_paths(
@@ -401,8 +534,6 @@ def run_encode_paths(
     """
     import os
 
-    import pyarrow.parquet as pq
-
     if os.path.isfile(input_dir):
         files = [input_dir]
     else:
@@ -414,26 +545,25 @@ def run_encode_paths(
     if not files:
         raise ValueError(f"no parquet files under {input_dir}")
     per = max(target_rows_per_stripe, 1)
-    # scan-unit plan: (path, rg_lo, rg_hi) with ~per rows each.  Metadata-
-    # only footer reads; at 10^12-row scale this comes from the Iceberg
-    # manifest instead (same counts, zero file opens).
-    units: list[tuple[str, int, int]] = []
-    for path in files:
-        md = pq.ParquetFile(path).metadata
-        lo, acc = 0, 0
-        for g in range(md.num_row_groups):
-            acc += md.row_group(g).num_rows
-            if acc >= per:
-                units.append((path, lo, g + 1))
-                lo, acc = g + 1, 0
-        if lo < md.num_row_groups:
-            units.append((path, lo, md.num_row_groups))
-    done = (
-        frozenset(completed_stripes(spark, out_dir, fingerprint=fingerprint))
-        if resume
-        else frozenset()
-    )
-    done_bc = spark.sparkContext.broadcast(done)
+    units_df = _plan_units(spark, files, per)
+    skipped = 0
+    if resume:
+        done_df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
+        if done_df is not None:
+            skipped = done_df.count()
+            if skipped:
+                # unit-level plan-side resume: a unit's stripes commit
+                # atomically with its task, so any committed footer of a
+                # unit means the whole unit is done (completed_groups_df);
+                # the done ids never reach the driver.
+                groups = completed_groups_df(
+                    spark, out_dir, fingerprint=fingerprint
+                )
+                units_df = units_df.join(
+                    F.broadcast(groups),
+                    units_df["idx"] == groups["__sparc_done_group"],
+                    "left_anti",
+                )
     sink_dir = out_dir
 
     def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -444,11 +574,8 @@ def run_encode_paths(
         from .. import runtime
 
         runtime.init()
-        done_set = done_bc.value
 
         def write_stripe(table: pa.Table, sid: int):
-            if sid in done_set:
-                return None
             if sort_within:
                 table = table.sort_by([(c, "ascending") for c in sort_within])
             streams, footer = stripe_mod.encode_stripe(
@@ -519,11 +646,13 @@ def run_encode_paths(
                     if out is not None:
                         yield out
 
-    parts = n_partitions or min(len(units), spark.sparkContext.defaultParallelism * 4)
-    paths_df = spark.createDataFrame(
-        [(i, p, lo, hi) for i, (p, lo, hi) in enumerate(units)],
-        "idx long, path string, rg_lo int, rg_hi int",
-    ).repartition(parts, "idx")
+    # one count() over the (tiny, one-row-per-unit) plan; also sizes the
+    # task fan-out.  The unit plan itself never lands on the driver.
+    n_units_todo = units_df.count()
+    parts = n_partitions or max(
+        1, min(n_units_todo, spark.sparkContext.defaultParallelism * 4)
+    )
+    paths_df = units_df.repartition(parts, "idx")
     (
         paths_df.mapInArrow(encode_files, schema=STREAMS_SCHEMA)
         .write.mode("append")
@@ -532,8 +661,8 @@ def run_encode_paths(
     )
     return {
         "n_files": len(files),
-        "n_units": len(units),
-        "skipped": len(done),
+        "n_units": n_units_todo,
+        "skipped": skipped,
         "out_dir": out_dir,
     }
 
