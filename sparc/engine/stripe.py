@@ -598,13 +598,13 @@ def _build_decimal_big(
         full_lo[valid] = lo
         full_hi = np.zeros(n_rows, dtype=np.int64)
         full_hi[valid] = hi
-        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
         null_count = int((~valid).sum())
     words = np.empty((n_rows, 2), dtype=np.uint64)
     words[:, 0] = full_lo
     words[:, 1] = full_hi.view(np.uint64)
     return pa.Array.from_buffers(
-        t, n_rows, [validity_buf, pa.py_buffer(words.tobytes())],
+        t, n_rows, [validity_buf, pa.py_buffer(words)],
         null_count=null_count,
     )
 
@@ -618,13 +618,13 @@ def _build_decimal(
     if valid is not None:
         full = np.zeros(n_rows, dtype=np.int64)
         full[valid] = vals
-        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
         null_count = int((~valid).sum())
     words = np.empty((n_rows, 2), dtype=np.int64)
     words[:, 0] = full
     words[:, 1] = np.where(full < 0, -1, 0)  # sign-extended high word
     return pa.Array.from_buffers(
-        t, n_rows, [validity_buf, pa.py_buffer(words.tobytes())],
+        t, n_rows, [validity_buf, pa.py_buffer(words)],
         null_count=null_count,
     )
 
@@ -1032,9 +1032,7 @@ def _build_list(
         )
         if mask is not None:
             # MapArray.from_arrays lacks a mask argument; rebuild validity
-            validity = pa.py_buffer(
-                np.packbits(valid, bitorder="little").tobytes()
-            )
+            validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
             out = pa.Array.from_buffers(
                 out.type,
                 n_rows,
@@ -1104,7 +1102,7 @@ def _dict_values_array(dlens: np.ndarray, dblob, t: pa.DataType) -> pa.Array:
     off_dtype = np.int64 if use_large else np.int32
     doffs = np.concatenate(([0], np.cumsum(dlens))).astype(off_dtype)
     return pa.Array.from_buffers(
-        t, len(dlens), [None, pa.py_buffer(doffs.tobytes()), pa.py_buffer(bytes(dblob))]
+        t, len(dlens), [None, pa.py_buffer(doffs), pa.py_buffer(dblob)]
     )
 
 
@@ -1151,12 +1149,16 @@ def _build_binary(
         full_lens = np.zeros(n_rows, dtype=np.int64)
         full_lens[valid] = row_lens
         offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(off_dtype)
-        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
         null_count = int((~valid).sum())
+    # py_buffer over the numpy arrays / decompressed views directly:
+    # .tobytes() here was a full extra memcpy of every blob column's
+    # payload per stripe (py_buffer holds a reference, so lifetime is
+    # safe all the way down to the mmap'd stripe file)
     buffers = [
         validity_buf,
-        pa.py_buffer(offsets.tobytes()),
-        pa.py_buffer(data.tobytes()),
+        pa.py_buffer(offsets),
+        pa.py_buffer(data),
     ]
     return pa.Array.from_buffers(t, n_rows, buffers, null_count=null_count)
 

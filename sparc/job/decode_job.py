@@ -212,14 +212,24 @@ def run_decode(
     else:
         bloom_keep = F.lit(False)
     raw = raw.filter(is_footer | data_keep | bloom_keep)
+    sample = _sample_footer(spark, streams_dir)
     if schema_ddl is None:
-        schema_ddl = infer_schema_ddl(spark, streams_dir, columns)
-    n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+        schema_ddl = _schema_ddl_from_footer(sample, columns)
+    n_parts = n_partitions or max(2 * spark.sparkContext.defaultParallelism, 8)
     fn = _decode_partition_factory(
         columns, verify_crc, predicate=pred if rowgroup_prune else None,
         streams_dir=streams_dir,
     )
-    out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
+    if sample.get("stripe_file"):
+        # files sink: the manifest holds ONE self-contained footer row per
+        # stripe (blobs live in stripe files) — round-robin repartition is
+        # perfectly balanced, where hashing 32 stripes into 32 partitions
+        # leaves ~1/e of the cores idle and doubles the straggler's load
+        out = raw.repartition(n_parts).mapInArrow(fn, schema=schema_ddl)
+    else:
+        # parquet sink: a stripe's stream rows must co-locate -> hash on
+        # stripe_id; 2x cores halves collision imbalance
+        out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
     if cast_to:
         out = out.select(
             *[
@@ -463,10 +473,18 @@ def _ddl_type(col_meta: dict) -> str:
     raise NotImplementedError(t)
 
 
-def infer_schema_ddl(
-    spark: SparkSession, streams_dir: str, columns: list[str] | None = None
-) -> str:
-    """Read one FOOTER row and derive the Spark DDL schema."""
+_FOOTER_CACHE: dict[str, dict] = {}
+
+
+def _sample_footer(spark: SparkSession, streams_dir: str) -> dict:
+    """One parsed FOOTER row (planner-scale metadata: schema inference +
+    sink-type detection share this single lookup).  Cached per directory
+    for the session: the schema and sink type of a streams dir are fixed
+    at creation, and the lookup is otherwise a full (tiny) Spark job on
+    every decode call."""
+    cached = _FOOTER_CACHE.get(streams_dir)
+    if cached is not None:
+        return cached
     row = (
         read_streams(spark, streams_dir)
         .filter(F.col("kind") == "FOOTER")
@@ -477,9 +495,21 @@ def infer_schema_ddl(
     if not row:
         raise ValueError(f"no FOOTER rows in {streams_dir}")
     footer = json.loads(bytes(row[0][0]).decode())
+    _FOOTER_CACHE[streams_dir] = footer
+    return footer
+
+
+def _schema_ddl_from_footer(footer: dict, columns: list[str] | None = None) -> str:
     parts = []
     for c in footer["columns"]:
         if columns and c["name"] not in columns:
             continue
         parts.append(f"`{c['name']}` {_ddl_type(c)}")
     return ", ".join(parts)
+
+
+def infer_schema_ddl(
+    spark: SparkSession, streams_dir: str, columns: list[str] | None = None
+) -> str:
+    """Read one FOOTER row and derive the Spark DDL schema."""
+    return _schema_ddl_from_footer(_sample_footer(spark, streams_dir), columns)

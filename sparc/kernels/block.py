@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pyarrow as pa
 
 CHUNK_SIZE = 1 << 22  # 4 MiB codec window (see docstring)
@@ -74,20 +75,49 @@ def compress(data: bytes, codec: str = "zstd", level: int | None = None) -> byte
     return bytes(out)
 
 
-def decompress(data: bytes, codec: str = "zstd", level: int | None = None) -> bytes:
+def decompress(data, codec: str = "zstd", level: int | None = None):
+    """Decompress a chunked stream.  Returns a zero-copy view whenever
+    possible — a pyarrow Buffer (single compressed chunk), a memoryview
+    of the input (single stored chunk), or a numpy uint8 array assembled
+    with exactly one copy per chunk (multi-chunk).  All returns support
+    the buffer protocol; consumers use np.frombuffer / bytes() as needed.
+    The old implementation copied every payload 3x (Buffer->bytes,
+    += into bytearray, bytes(bytearray)) — at decode this was the single
+    largest CPU item after the codec itself."""
     if codec == "none":
         return data
-    c = _codec(codec, level)
-    out = bytearray()
-    pos = 0
     n = len(data)
+    if n == 0:
+        return b""
+    c = _codec(codec, level)
+    # fast path: exactly one chunk (every stream < CHUNK_SIZE raw)
+    word, rawlen = _HEADER.unpack_from(data, 0)
+    clen = word >> 1
+    if _HEADER.size + clen == n:
+        body = data[_HEADER.size : _HEADER.size + clen]
+        if word & 1:  # stored original: a view of the input
+            return body if isinstance(body, memoryview) else memoryview(body)
+        return c.decompress(body, rawlen)  # pa.Buffer, zero extra copies
+    # multi-chunk: pre-scan headers for the total, one copy per chunk
+    total = 0
+    pos = 0
+    while pos < n:
+        word, rawlen = _HEADER.unpack_from(data, pos)
+        total += rawlen
+        pos += _HEADER.size + (word >> 1)
+    out = np.empty(total, np.uint8)
+    pos = 0
+    o = 0
     while pos < n:
         word, rawlen = _HEADER.unpack_from(data, pos)
         pos += _HEADER.size
         clen = word >> 1
-        if word & 1:  # stored original
-            out += data[pos : pos + clen]
+        if word & 1:
+            out[o : o + rawlen] = np.frombuffer(data[pos : pos + clen], np.uint8)
         else:
-            out += bytes(c.decompress(data[pos : pos + clen], rawlen))
+            out[o : o + rawlen] = np.frombuffer(
+                c.decompress(data[pos : pos + clen], rawlen), np.uint8
+            )
         pos += clen
-    return bytes(out)
+        o += rawlen
+    return out

@@ -110,7 +110,9 @@ def decode(data: bytes | memoryview, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.uint8)
     pos = 0
     filled = 0
-    data = memoryview(data)
+    # cast('B'): pa.Buffer exports a SIGNED 'b' memoryview — indexing
+    # would yield negative ints for bytes >= 0x80 and misparse headers
+    data = memoryview(data).cast("B")
     while filled < n:
         c = data[pos]
         pos += 1

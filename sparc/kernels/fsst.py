@@ -113,7 +113,9 @@ class SymbolTable:
         return bytes(out)
 
     @classmethod
-    def deserialize(cls, data: bytes, pos: int = 0) -> tuple["SymbolTable", int]:
+    def deserialize(cls, data, pos: int = 0) -> tuple["SymbolTable", int]:
+        if not isinstance(data, bytes):
+            data = memoryview(data).cast("B")  # unsigned view (pa.Buffer is 'b')
         n = data[pos]
         pos += 1
         symbols = []
@@ -259,7 +261,7 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
 
 
 def decompress(enc: bytes, table: SymbolTable) -> bytes:
-    if not enc:
+    if len(enc) == 0:  # len(), not truthiness: enc may be ndarray/Buffer
         return b""
     data = np.frombuffer(enc, dtype=np.uint8)
     # resolve escapes: a 255 at a code position escapes the next byte.

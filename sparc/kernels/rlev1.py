@@ -82,7 +82,7 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
 
 def decode(data: bytes | memoryview, n: int, signed: bool = True) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
-    data = memoryview(data)
+    data = memoryview(data).cast("B")  # unsigned: pa.Buffer views are 'b'
     pos = 0
     filled = 0
     while filled < n:
