@@ -86,6 +86,7 @@ def _session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
@@ -129,7 +130,7 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         )
 
     job_walls, stage_walls, floor_walls = [], [], []
-    inp_walls = []
+    inp_walls, pys_walls = [], []
     fn = encode_job._encode_partition_factory("zstd", None, "scale")
     for r in range(RUNS + 1):  # first run warms workers, untimed
         # full job, hash strategy (one full shuffle — local-mode shuffle
@@ -156,6 +157,18 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         )
         w_inp = time.perf_counter() - t0
         shutil.rmtree(inp_dir, ignore_errors=True)
+        # pyscan (direct-scan) strategy: workers pyarrow-read scan units,
+        # the JVM only schedules — the other headline candidate
+        pys_dir = os.path.join(CACHE, f"scale_pys_{cpus}_{r}")
+        shutil.rmtree(pys_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_job.run_encode_paths(
+            spark, pages_path, pys_dir,
+            target_rows_per_stripe=max(n_rows // n_stripes, 1),
+            fingerprint="scale-py", resume=False,
+        )
+        w_pys = time.perf_counter() - t0
+        shutil.rmtree(pys_dir, ignore_errors=True)
         # encode stage only: pre-staged input, no shuffle, count-only sink
         pre = spark.read.parquet(staged_path)
         t0 = time.perf_counter()
@@ -171,10 +184,12 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         if r > 0:
             job_walls.append(w_job)
             inp_walls.append(w_inp)
+            pys_walls.append(w_pys)
             stage_walls.append(w_stage)
             floor_walls.append(w_floor)
     spark.stop()
-    return min(job_walls), min(inp_walls), min(stage_walls), min(floor_walls)
+    return (min(job_walls), min(inp_walls), min(pys_walls),
+            min(stage_walls), min(floor_walls))
 
 
 def main() -> None:
@@ -192,8 +207,8 @@ def main() -> None:
         n_stripes = max(n4 * 4, 32)
         staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
         raw_bytes: list = []
-        j_n, ji_n, s_n, f_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
-        j_4n, ji_4n, s_4n, f_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
+        j_n, ji_n, jp_n, s_n, f_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
+        j_4n, ji_4n, jp_4n, s_4n, f_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
         raw = raw_bytes[0]
         speedup = n4 / n
         rec = {
@@ -215,6 +230,14 @@ def main() -> None:
             "job_input_efficiency": round((ji_n / ji_4n) / speedup, 4),
             "job_input_efficiency_vs_ceiling": round(
                 (ji_n / ji_4n) / speedup / max(ceiling, 1e-9), 4
+            ),
+            "job_pyscan_wall_n": round(jp_n, 2),
+            "job_pyscan_wall_4n": round(jp_4n, 2),
+            "job_pyscan_gbps_n": round(raw / jp_n / 1e9, 4),
+            "job_pyscan_gbps_4n": round(raw / jp_4n / 1e9, 4),
+            "job_pyscan_efficiency": round((jp_n / jp_4n) / speedup, 4),
+            "job_pyscan_efficiency_vs_ceiling": round(
+                (jp_n / jp_4n) / speedup / max(ceiling, 1e-9), 4
             ),
             "stage_wall_n": round(s_n, 2),
             "stage_wall_4n": round(s_4n, 2),
