@@ -546,6 +546,45 @@ def run_encode_paths(
         raise ValueError(f"no parquet files under {input_dir}")
     per = max(target_rows_per_stripe, 1)
     units_df = _plan_units(spark, files, per)
+    res = run_encode_units(
+        spark, units_df, out_dir,
+        codec=codec, target_rows_per_stripe=target_rows_per_stripe,
+        sort_within=sort_within, bloom_columns=bloom_columns, fsst=fsst,
+        row_index_stride=row_index_stride, fingerprint=fingerprint,
+        resume=resume, n_partitions=n_partitions, columns=columns,
+    )
+    res["n_files"] = len(files)
+    return res
+
+
+def run_encode_units(
+    spark: SparkSession,
+    units_df: DataFrame,
+    out_dir: str,
+    *,
+    codec: str = "zstd",
+    target_rows_per_stripe: int = 100_000,
+    sort_within: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    fsst: bool | None = None,
+    row_index_stride: int | None = ROW_INDEX_STRIDE,
+    fingerprint: str = "",
+    resume: bool = True,
+    n_partitions: int | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Encode a pre-planned scan-unit DataFrame [idx long, path string,
+    rg_lo int, rg_hi int] — the Iceberg slot-in point: an Iceberg scan
+    produces exactly this shape ((file, row-group/offset range) tasks
+    from manifest metadata), so a manifest-driven caller builds the
+    units DataFrame from `table.newScan().planTasks()` (or the
+    `snapshot.manifests` tables in Spark SQL) and hands it here without
+    any filesystem listing or footer reads.  ``idx`` must be unique and
+    deterministic for resume (see _plan_units for the fidx*UNIT_SPACE
+    convention).  Everything else — streamed row-group reads in workers,
+    incremental stripe cuts, files sink, group-level plan-side resume —
+    is shared with run_encode_paths."""
+    per = max(target_rows_per_stripe, 1)
     skipped = 0
     if resume:
         done_df = completed_stripes_df(spark, out_dir, fingerprint=fingerprint)
@@ -660,7 +699,6 @@ def run_encode_paths(
         .parquet(out_dir)
     )
     return {
-        "n_files": len(files),
         "n_units": n_units_todo,
         "skipped": skipped,
         "out_dir": out_dir,

@@ -442,3 +442,38 @@ def test_distributed_unit_planning_many_files(spark, tmp_path, monkeypatch):
     ids = [r["idx"] for r in rows]
     assert len(set(ids)) == 1000
     assert all(r["rg_lo"] == 0 and r["rg_hi"] == 1 for r in rows)
+
+
+def test_run_encode_units_iceberg_shape(spark, pages_path, tmp_path):
+    """run_encode_units accepts a caller-supplied scan-task DataFrame
+    (the Iceberg manifest shape) directly — same output as the
+    path-planned run, resume included."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(pages_path, f) for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    ) if os.path.isdir(pages_path) else [pages_path]
+    rows = []
+    for fidx, path in enumerate(files):
+        md = pq.ParquetFile(path).metadata
+        rows.extend(
+            (idx, path, lo, hi)
+            for idx, lo, hi in encode_job._pack_units(
+                fidx, md.num_row_groups,
+                lambda g, _md=md: _md.row_group(g).num_rows, 1500,
+            )
+        )
+    units = spark.createDataFrame(rows, "idx long, path string, rg_lo int, rg_hi int")
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode_units(
+        spark, units, out, target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res["n_units"] == len(rows)
+    df = spark.read.parquet(pages_path)
+    _compare_roundtrip(spark, df, out)
+    n_stripes = len(glob.glob(os.path.join(out, "stripes", "*.sparc")))
+    res2 = encode_job.run_encode_units(
+        spark, units, out, target_rows_per_stripe=1500, fingerprint="pages@42",
+    )
+    assert res2["skipped"] == n_stripes and res2["n_units"] == 0
