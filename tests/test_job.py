@@ -477,3 +477,37 @@ def test_run_encode_units_iceberg_shape(spark, pages_path, tmp_path):
         spark, units, out, target_rows_per_stripe=1500, fingerprint="pages@42",
     )
     assert res2["skipped"] == n_stripes and res2["n_units"] == 0
+
+
+def test_input_strategy_partial_failure_group_resume(spark, pages_path, tmp_path):
+    """Group-level plan-side resume is EXACT on the input strategy: kill
+    one partition's committed manifest part-file (its stripe files stay
+    on disk — the crash window), resume, and only that partition's
+    stripes are re-encoded; the output round-trips bit-identically."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500,
+        fingerprint="pages@42", sink="files",
+    )
+    all_stripes = set(encode_job.completed_stripes(spark, out))
+    sizes = {
+        os.path.basename(p): os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "stripes", "*.sparc"))
+    }
+    # drop one committed footer part (not the largest: any will do)
+    part_files = sorted(glob.glob(os.path.join(out, "part-*")))
+    os.remove(part_files[0])
+    done_before = set(encode_job.completed_stripes(spark, out))
+    lost = all_stripes - done_before
+    assert lost, "removing a part file must lose at least one footer"
+    res = encode_job.run_encode(
+        df, out, strategy="input", target_rows_per_stripe=1500,
+        fingerprint="pages@42", sink="files",
+    )
+    assert res["skipped"] == len(done_before)
+    assert set(encode_job.completed_stripes(spark, out)) == all_stripes
+    # re-encoded stripes overwrote their orphans with identical bytes
+    for name, size in sizes.items():
+        assert os.path.getsize(os.path.join(out, "stripes", name)) == size
+    _compare_roundtrip(spark, df, out)

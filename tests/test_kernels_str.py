@@ -179,3 +179,34 @@ def test_unsorted_hash_dictionary():
     ]
     s_codes, s_uniques = dictionary.encode_sorted(vals)
     assert s_uniques == sorted(s_uniques)
+
+
+def test_block_true_multi_chunk_mixed():
+    """> CHUNK_SIZE payloads exercise the multi-chunk reassembly path,
+    including a MIX of compressed and stored-original chunks (zstd-hard
+    random bytes force store-if-bigger; zeros compress)."""
+    sz = block.CHUNK_SIZE
+    data = (
+        bytes(RNG.integers(0, 256, sz + 1000, dtype=np.uint8))  # stored
+        + b"\x00" * (sz // 2)                                   # compressed
+        + bytes(RNG.integers(0, 256, 500, dtype=np.uint8))      # tail chunk
+    )
+    for codec in ("zstd", "zlib", "lz4", "snappy"):
+        enc = block.compress(data, codec)
+        out = block.decompress(enc, codec)
+        assert bytes(out) == data, codec
+
+
+def test_block_decompress_return_types_support_buffer_protocol():
+    """decompress returns zero-copy views (Buffer / memoryview / ndarray)
+    — all must satisfy np.frombuffer and len()."""
+    comp = block.decompress(block.compress(b"aa" * 50_000, "zstd"), "zstd")
+    stored = block.decompress(
+        block.compress(bytes(RNG.integers(0, 256, 1000, dtype=np.uint8)), "zstd"),
+        "zstd",
+    )
+    multi = block.decompress(
+        block.compress(b"\x01" * (block.CHUNK_SIZE + 10), "zstd"), "zstd"
+    )
+    for out in (comp, stored, multi):
+        assert np.frombuffer(out, np.uint8).size == len(out)
