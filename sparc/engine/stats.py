@@ -87,7 +87,18 @@ def int_stats(values: np.ndarray, n_nulls: int, kind: str = "int") -> ColumnStat
         if bound * values.size < (1 << 62):
             s.total = int(values.sum(dtype=np.int64))
         else:
-            s.total = int(sum(int(x) for x in values.tolist()))
+            # exact overflow-safe sum with NO per-value Python loop:
+            # int64 partial sums over chunks sized so |partial| <= 2^62,
+            # combined as Python ints.  (Epoch-micro timestamps hit this
+            # branch on every stripe — the old tolist() genexpr was 2
+            # Python calls per row.)
+            k = max(1, (1 << 62) // max(bound, 1))
+            s.total = int(
+                sum(
+                    int(values[i : i + k].sum(dtype=np.int64))
+                    for i in range(0, values.size, k)
+                )
+            )
     return s
 
 
