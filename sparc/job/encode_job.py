@@ -691,7 +691,12 @@ def run_encode_units(
     parts = n_partitions or max(
         1, min(n_units_todo, spark.sparkContext.defaultParallelism * 4)
     )
-    paths_df = units_df.repartition(parts, "idx")
+    # round-robin, NOT hash-on-idx: stripe ids derive from the unit index
+    # (not the partition), so co-location is irrelevant — and hashing ~N
+    # units into N partitions idles ~1/e of the cores while stragglers
+    # carry 2-3 units (the same balls-in-bins fix as the files-sink
+    # decode)
+    paths_df = units_df.repartition(parts)
     (
         paths_df.mapInArrow(encode_files, schema=STREAMS_SCHEMA)
         .write.mode("append")
