@@ -215,7 +215,6 @@ def run_decode(
     sample = _sample_footer(spark, streams_dir)
     if schema_ddl is None:
         schema_ddl = _schema_ddl_from_footer(sample, columns)
-    n_parts = n_partitions or max(2 * spark.sparkContext.defaultParallelism, 8)
     fn = _decode_partition_factory(
         columns, verify_crc, predicate=pred if rowgroup_prune else None,
         streams_dir=streams_dir,
@@ -223,12 +222,18 @@ def run_decode(
     if sample.get("stripe_file"):
         # files sink: the manifest holds ONE self-contained footer row per
         # stripe (blobs live in stripe files) — round-robin repartition is
-        # perfectly balanced, where hashing 32 stripes into 32 partitions
-        # leaves ~1/e of the cores idle and doubles the straggler's load
+        # perfectly balanced (hashing 32 stripes into 32 partitions leaves
+        # ~1/e of the cores idle and doubles the straggler's load), so
+        # exactly one Python task per core is optimal: each Python task
+        # carries ~6-8 ms of fixed launch/handshake cost, measured the
+        # dominant term of small decodes
+        n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
         out = raw.repartition(n_parts).mapInArrow(fn, schema=schema_ddl)
     else:
         # parquet sink: a stripe's stream rows must co-locate -> hash on
-        # stripe_id; 2x cores halves collision imbalance
+        # stripe_id; 2x cores halves collision imbalance (worth the extra
+        # task launches because hash skew costs more than they do)
+        n_parts = n_partitions or max(2 * spark.sparkContext.defaultParallelism, 8)
         out = raw.repartition(n_parts, "stripe_id").mapInArrow(fn, schema=schema_ddl)
     if cast_to:
         out = out.select(
