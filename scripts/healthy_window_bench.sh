@@ -32,7 +32,7 @@ while true; do
       echo "bench rc=$rc $(date +%T)" >> "$LOG"
       grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
       if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
-        cp /tmp/bench_healthy.json BENCH/bench_r4_window1.json
+        cp /tmp/bench_healthy.json BENCH/bench_r4_window2.json
         echo "bench recorded $(date +%T)" >> "$LOG"
         echo "running scaling $(date +%T)" >> "$LOG"
         timeout 3000 python scaling_bench.py > /tmp/scaling_healthy.out 2>&1
