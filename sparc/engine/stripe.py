@@ -359,6 +359,11 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
     n_nonnull = len(bin_arr)
     kind = "string" if is_str else "binary"
 
+    # per-group bounds double as the column bounds (min-of-mins /
+    # max-of-maxes) so the column never pays a second full min_max scan
+    # — on web text that scan was ~19% of the whole stripe encode CPU
+    group_bounds: list[tuple] = []
+
     def rg_string_stats(g: int) -> None:
         sl = enc.val_slice(g)
         mn = mx = None
@@ -370,9 +375,18 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
             if len(sub):
                 mm = pa.compute.min_max(sub)
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                group_bounds.append((mn, mx))
         enc.set_rg_stats(
             g,
             stats_mod.string_stats(lengths[sl], enc.rg_nulls[g], mn, mx, kind=kind),
+        )
+
+    def column_min_max() -> tuple:
+        if not group_bounds:
+            return None, None
+        return (
+            min(b[0] for b in group_bounds),
+            max(b[1] for b in group_bounds),
         )
 
     # early dictionary check on the first 10k non-null rows — strings
@@ -484,10 +498,7 @@ def _encode_binary_like(enc: _ColumnEncoder, fsst_opt: bool | None) -> None:
         meta["encoding"] = "direct_fsst"
     else:
         meta["encoding"] = "direct"
-    mn = mx = None
-    if n_nonnull and is_str:
-        mm = pa.compute.min_max(bin_arr)
-        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    mn, mx = column_min_max()
     meta["stats"] = stats_mod.string_stats(
         lengths, meta["n_nulls"], mn, mx, kind=kind
     ).to_dict()
@@ -783,11 +794,26 @@ def decode_column(
     row-sliced."""
     codec = meta["codec"]
     segments = meta.get("segments")
-    if segments is None or meta["encoding"] in ("struct", "union"):
+    if (
+        segments is None
+        or meta["encoding"] in ("struct", "union")
+        or (
+            row_groups is None
+            # bool DATA is the one non-concatenable segment kind: it
+            # packs n_vals bits (the non-null count) per segment, which
+            # is byte-padded mid-stream when nulls make n_vals % 8 != 0
+            and not (meta["encoding"] == "bool" and meta["n_nulls"])
+        )
+    ):
         # struct columns have no data streams of their own: children are
         # whole-stripe subtrees, so decode whole and row-slice (segment
         # concatenation stays byte-aligned because the stride is a
-        # multiple of 8 — block chunks concatenate transparently)
+        # multiple of 8 — block chunks concatenate transparently).
+        # row_groups=None (full scan, the hot path) also decodes whole:
+        # every stream kind is self-delimiting under concatenation
+        # (RLE runs, varints, byte-aligned bitfields, block chunks), so
+        # one decompress + one array build replaces the per-group loop
+        # and its final concat copy.
         arr = _decode_whole(streams, meta)
         if row_groups is not None:
             arr = _slice_row_groups(arr, meta, row_groups)

