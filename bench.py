@@ -98,9 +98,10 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        # explicit (it is the default, but the cold-start budget depends
-        # on it): Python workers persist across stages, so per-process
-        # import + allocator warm costs are paid once, not per stage
+        # NOT the default in this Spark build (verified by worker PID
+        # sampling): without it every Python stage forks fresh workers
+        # through the single-threaded daemon — import + allocator warm
+        # costs repaid per job instead of once per core
         .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )

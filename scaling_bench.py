@@ -89,6 +89,10 @@ def _session(cpus: int):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # NOT the default in this Spark build (verified by worker PID
+        # sampling: without it every job forks 32 fresh workers through
+        # the single-threaded daemon, ~8 ms each, serialized)
+        .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )
 

@@ -1,11 +1,16 @@
 """The distributed decode job: streams table → original DataFrame.
 
-Inverse of encode_job: read the streams parquet, co-locate each stripe's
-stream rows (repartition on stripe_id — the only shuffle), decode inside
-``mapInArrow``, verify stream checksums, emit Arrow batches in the
-original schema.  Selected-column decode ("projection pushdown" over our
-own format) only fetches the needed streams: a plain DataFrame filter on
-the ``column`` field before the shuffle.
+Inverse of encode_job.  Files sink (the production shape): a SINGLE
+Spark stage over the manifest-file list — each task pyarrow-reads its
+manifest files (footer rows only), prunes stripes/row groups against
+the predicate, byte-range-fetches surviving stream spans from the
+stripe files, and decodes inside ``mapInArrow``.  No JVM parquet scan,
+no shuffle, no stage barrier.  Parquet sink (blobs inline in the
+manifest): co-locate each stripe's stream rows (repartition on
+stripe_id — the only shuffle) and decode.  Selected-column decode
+("projection pushdown" over our own format) only fetches the needed
+streams: span selection at the mmap (files) or a DataFrame filter on
+the ``column`` field before the shuffle (parquet).
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ def _decode_partition_factory(
     verify_crc: bool,
     predicate: tuple | None = None,
     streams_dir: str | None = None,
+    stripe_predicate: tuple | None = None,
 ):
     def _streams_from_file(footer: dict) -> dict[tuple[str, str], memoryview]:
         """Files-sink fetch: mmap the stripe file and slice the needed
@@ -90,6 +96,20 @@ def _decode_partition_factory(
                     streams[(col, kind)] = blob
             if footer is None:
                 raise ValueError(f"stripe {sid}: FOOTER row missing (incomplete)")
+            if stripe_predicate is not None:
+                # stripe-level stats pruning IN the scan task (paths mode
+                # has no pre-shuffle semi-join to do it in): same tri-state
+                # evaluation as prune_stripes_df, refuted stripes never
+                # open their stripe file
+                from ..engine import sarg as sarg_mod
+
+                col_stats = {
+                    c["name"]: c.get("stats")
+                    for c in footer["columns"]
+                    if c.get("stats") is not None
+                }
+                if not sarg_mod.keep(stripe_predicate, col_stats):
+                    continue
             if footer.get("stripe_file"):
                 streams = _streams_from_file(footer)
             if verify_crc:
@@ -120,6 +140,51 @@ def _decode_partition_factory(
     return decode_partition
 
 
+def _decode_paths_factory(
+    columns: list[str] | None,
+    verify_crc: bool,
+    predicate: tuple | None = None,
+    streams_dir: str | None = None,
+    stripe_predicate: tuple | None = None,
+):
+    """mapInArrow function over a DataFrame of manifest-file *paths*
+    (files sink only): each task pyarrow-reads its manifest files —
+    footer rows only, the stream bytes stay in stripe files — and
+    decodes the stripes they commit.  One Spark stage, no JVM parquet
+    scan, no shuffle: on this host the two-stage scan+repartition shape
+    alone cost ~0.6 s per decode (measured with a noop UDF), more than
+    the reference reader's entire warm read of 3 GiB."""
+    inner = _decode_partition_factory(
+        columns, verify_crc, predicate=predicate, streams_dir=streams_dir,
+        stripe_predicate=stripe_predicate,
+    )
+
+    def decode_paths(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                tbl = pq.read_table(path)
+                if tbl.num_rows:
+                    yield from inner(tbl.to_batches())
+
+    return decode_paths
+
+
+def _manifest_paths(streams_dir: str) -> list[str]:
+    """Manifest part-file paths of a files-sink streams dir (sorted for
+    determinism).  Planner-scale metadata: one file per completed encode
+    task, NOT one per stripe — at Iceberg scale this list comes from the
+    table manifest instead of a directory listing."""
+    import os
+
+    return sorted(
+        os.path.join(streams_dir, f)
+        for f in os.listdir(streams_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def run_decode(
     spark: SparkSession,
     streams_dir: str,
@@ -144,9 +209,11 @@ def run_decode(
     It accepts either the legacy ``(column, lo, hi)`` range tuple or a
     full composite predicate tree (see ``sparc.engine.sarg``):
     ``("and", ("between", "ts", a, b), ("not", ("is_null", "url")))``.
-    Evaluation runs in executors over the footer metadata rows and the
-    kept-stripe set reaches the scan via a broadcast semi-join — no
-    driver-side collect anywhere on the read path.  Pruning alone
+    Evaluation runs in executors: inside the scan task itself on the
+    files sink (tri-state stats check before the stripe file is ever
+    opened), or over the footer metadata rows with the kept-stripe set
+    reaching the scan via a broadcast semi-join on the parquet sink —
+    no driver-side collect anywhere on the read path.  Pruning alone
     returns a superset of matching rows; ``row_filter=True`` additionally
     compiles the SAME tree to a Catalyst row filter on the decoded
     output (the reference's three filter levels from one SearchArgument
@@ -170,14 +237,21 @@ def run_decode(
     """
     if reader_schema is not None and (columns or cast_to):
         raise ValueError("reader_schema is mutually exclusive with columns/cast_to")
-    raw = read_streams(spark, streams_dir)
+    import os as _os
+
+    sample = _sample_footer(spark, streams_dir)
+    # files sink on a listable store: single-stage paths mode (see
+    # _decode_paths_factory).  Stripe pruning moves into the scan task.
+    paths_mode = bool(sample.get("stripe_file")) and _os.path.isdir(streams_dir)
+    raw = None if paths_mode else read_streams(spark, streams_dir)
     pred = None
     if stripe_filter is not None:
         pred = _as_predicate(stripe_filter)
-        keep = prune_stripes_df(spark, streams_dir, pred)
-        # broadcast semi-join: the kept-stripe set is planner-scale metadata,
-        # so pruning never shuffles the streams table itself
-        raw = raw.join(F.broadcast(keep), "stripe_id", "left_semi")
+        if not paths_mode:
+            keep = prune_stripes_df(spark, streams_dir, pred)
+            # broadcast semi-join: the kept-stripe set is planner-scale
+            # metadata, so pruning never shuffles the streams table itself
+            raw = raw.join(F.broadcast(keep), "stripe_id", "left_semi")
     evolution = None  # [(reader StructField, file column name | None), ...]
     if reader_schema is not None:
         from pyspark.sql.types import StructType
@@ -203,37 +277,59 @@ def run_decode(
     # columns when row-group pruning will consult them (including
     # predicate columns outside the projection) — everything else never
     # leaves the parquet scan
-    is_footer = F.col("kind") == "FOOTER"
-    is_bloom = F.col("kind") == "BLOOM_FILTER_UTF8"
-    data_keep = ~is_bloom
-    if columns:
-        data_keep = data_keep & F.col("column").isin(list(columns))
-    if pred is not None and rowgroup_prune:
-        from ..engine import sarg as sarg_mod
-
-        pred_cols = sorted(sarg_mod.columns_of(pred))
-        bloom_keep = is_bloom & F.col("column").isin(pred_cols)
-    else:
-        bloom_keep = F.lit(False)
-    raw = raw.filter(is_footer | data_keep | bloom_keep)
-    sample = _sample_footer(spark, streams_dir)
     if schema_ddl is None:
         schema_ddl = _schema_ddl_from_footer(sample, columns)
-    fn = _decode_partition_factory(
-        columns, verify_crc, predicate=pred if rowgroup_prune else None,
-        streams_dir=streams_dir,
-    )
-    if sample.get("stripe_file"):
-        # files sink: the manifest holds ONE self-contained footer row per
-        # stripe (blobs live in stripe files) — round-robin repartition is
-        # perfectly balanced (hashing 32 stripes into 32 partitions leaves
-        # ~1/e of the cores idle and doubles the straggler's load), so
-        # exactly one Python task per core is optimal: each Python task
-        # carries ~6-8 ms of fixed launch/handshake cost, measured the
-        # dominant term of small decodes
+    if paths_mode:
+        # files sink: ONE self-contained footer row per stripe (blobs live
+        # in stripe files), so the decode is a single stage over the
+        # manifest-file list — no JVM parquet scan, no repartition
+        # shuffle, no stage barrier.  Round-robin interleave of the
+        # sorted path list balances tasks (manifest files ~ uniform
+        # stripes/task); parallelize slices it contiguously.
+        paths = _manifest_paths(streams_dir)
+        n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+        n_parts = max(1, min(n_parts, len(paths)))
+        rr = [p for j in range(n_parts) for p in paths[j::n_parts]]
+        fn = _decode_paths_factory(
+            columns, verify_crc, predicate=pred if rowgroup_prune else None,
+            streams_dir=streams_dir, stripe_predicate=pred,
+        )
+        paths_df = spark.createDataFrame(
+            spark.sparkContext.parallelize([(p,) for p in rr], n_parts),
+            "path string",
+        )
+        out = paths_df.mapInArrow(fn, schema=schema_ddl)
+    elif sample.get("stripe_file"):
+        # files sink on a non-listable store: manifest scan + round-robin
+        # repartition (perfectly balanced; hashing 32 stripes into 32
+        # partitions leaves ~1/e of the cores idle), one Python task per
+        # core
+        is_footer = F.col("kind") == "FOOTER"
+        raw = raw.filter(is_footer)
+        fn = _decode_partition_factory(
+            columns, verify_crc, predicate=pred if rowgroup_prune else None,
+            streams_dir=streams_dir,
+        )
         n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
         out = raw.repartition(n_parts).mapInArrow(fn, schema=schema_ddl)
     else:
+        is_footer = F.col("kind") == "FOOTER"
+        is_bloom = F.col("kind") == "BLOOM_FILTER_UTF8"
+        data_keep = ~is_bloom
+        if columns:
+            data_keep = data_keep & F.col("column").isin(list(columns))
+        if pred is not None and rowgroup_prune:
+            from ..engine import sarg as sarg_mod
+
+            pred_cols = sorted(sarg_mod.columns_of(pred))
+            bloom_keep = is_bloom & F.col("column").isin(pred_cols)
+        else:
+            bloom_keep = F.lit(False)
+        raw = raw.filter(is_footer | data_keep | bloom_keep)
+        fn = _decode_partition_factory(
+            columns, verify_crc, predicate=pred if rowgroup_prune else None,
+            streams_dir=streams_dir,
+        )
         # parquet sink: a stripe's stream rows must co-locate -> hash on
         # stripe_id; 2x cores halves collision imbalance (worth the extra
         # task launches because hash skew costs more than they do)

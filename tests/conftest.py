@@ -14,6 +14,9 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # worker reuse is NOT on by default in this Spark build; the
+        # suite launches thousands of small Python-stage jobs
+        .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )
     yield s
