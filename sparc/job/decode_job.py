@@ -65,6 +65,9 @@ def _decode_partition_factory(
         return streams
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import runtime
+
+        runtime.init_worker()
         collected = list(batches)
         if not collected:  # empty shuffle partition
             return
@@ -162,9 +165,12 @@ def _decode_paths_factory(
     def decode_paths(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        from .. import runtime
+
+        runtime.init_worker()
         for b in batches:
             for path in b.column("path").to_pylist():
-                tbl = pq.read_table(path)
+                tbl = pq.read_table(path, use_threads=False)
                 if tbl.num_rows:
                     yield from inner(tbl.to_batches())
 

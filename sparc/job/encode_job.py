@@ -146,6 +146,9 @@ def _encode_partition_factory(
         # an input split can exceed executor memory anyway).
         from pyspark import TaskContext
 
+        from .. import runtime
+
+        runtime.init_worker()
         pid = TaskContext.get().partitionId()
         base = pid * INPUT_SPLIT_SPACE
         per = rows_per_stripe or (1 << 62)
@@ -190,6 +193,9 @@ def _encode_partition_factory(
                 yield out
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import runtime
+
+        runtime.init_worker()
         collected = list(batches)
         if not collected:
             return
@@ -612,7 +618,7 @@ def run_encode_units(
 
         from .. import runtime
 
-        runtime.init()
+        runtime.init_worker()
 
         def write_stripe(table: pa.Table, sid: int):
             if sort_within:
@@ -668,6 +674,7 @@ def run_encode_units(
                     batch_size=1 << 16,
                     row_groups=range(rg_lo, rg_hi),
                     columns=columns,
+                    use_threads=False,  # 1 task = 1 core (see init_worker)
                 ):
                     buf.append(rb)
                     buffered += rb.num_rows
