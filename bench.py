@@ -147,6 +147,26 @@ def gen_pages_parquet(spark, n_rows: int, path: str, chunk: int = 20_000) -> Non
     ).parquet(path)
 
 
+def _octets_map(t):
+    """Per-stripe compute-near-data aggregate for the decode A/B: total
+    octet length over every decoded column (same forcing function as the
+    reference side's sum(octet_length(...)) scan — full decode of every
+    stream, scalar result, no corpus movement)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    total = 0
+    for name in ("url", "html", "text", "lang"):
+        col = t[name]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.large_binary())
+        total += pc.sum(pc.binary_length(col)).as_py() or 0
+    return pa.table(
+        {"octets": pa.array([total], pa.int64()),
+         "rows": pa.array([t.num_rows], pa.int64())}
+    )
+
+
 def raw_bytes_of(spark, path: str) -> int:
     from pyspark.sql import functions as F
 
@@ -395,8 +415,35 @@ def main() -> None:
         ref_read_walls.append(time.perf_counter() - t0)
     timings["reference_orc_read"] = round(ref_read_walls[-1], 3)
     extras["ref_decode_gbps"] = round(raw / ref_read_walls[-1] / 1e9, 4)
-    extras["decode_vs_reference_wall"] = round(
+    # Two decode protocols, both recorded:
+    # - materialize: our decode ships every decoded byte Python->JVM and
+    #   Spark counts the rows.  The reference side of this A/B pays no
+    #   such delivery (spark.read.orc decodes and aggregates inside one
+    #   JVM), so the ratio carries an asymmetric per-byte boundary tax.
+    # - near-data (headline): the SAME aggregate on both sides — the
+    #   reference aggregates octet lengths in the JVM scan, ours runs the
+    #   identical aggregate on each decoded stripe inside the scan task
+    #   via run_decode_map; both fully decode every column, neither moves
+    #   the corpus.  This is also the 100 TB consumption shape.
+    extras["decode_materialize_vs_reference_wall"] = round(
         files_wall / ref_read_walls[-1], 4
+    )
+    nd_walls = []
+    for _ in range(2):  # cold + warm
+        t0 = time.perf_counter()
+        got = (
+            decode_job.run_decode_map(
+                spark, inp_dir, _octets_map, "octets long, rows long"
+            )
+            .agg(F.sum("octets"), F.sum("rows").alias("r"))
+            .collect()[0]
+        )
+        nd_walls.append(time.perf_counter() - t0)
+        assert got["r"] == n_rows
+    timings["decode_pages_neardata"] = round(nd_walls[-1], 3)
+    extras["decode_neardata_gbps"] = round(raw / nd_walls[-1] / 1e9, 4)
+    extras["decode_vs_reference_wall"] = round(
+        nd_walls[-1] / ref_read_walls[-1], 4
     )
 
     # ---- XL decode A/B (3x the rows) --------------------------------------
@@ -421,24 +468,41 @@ def main() -> None:
                 target_rows_per_stripe=max(xl_rows // (n_stripes * 3), 1),
                 fingerprint=f"bench-dec-{xl_rows}", resume=False,
             )
-        xl_walls, xl_ref_walls = [], []
-        for _ in range(3):  # interleaved, first pair doubles as warmup
+        xl_walls, xl_nd_walls, xl_ref_walls = [], [], []
+        for _ in range(3):  # interleaved, first trio doubles as warmup
             t0 = time.perf_counter()
             n_dec = decode_job.run_decode(spark, xl_ours).count()
             xl_walls.append(time.perf_counter() - t0)
             assert n_dec == xl_rows
             t0 = time.perf_counter()
+            got = (
+                decode_job.run_decode_map(
+                    spark, xl_ours, _octets_map, "octets long, rows long"
+                )
+                .agg(F.sum("octets"), F.sum("rows").alias("r"))
+                .collect()[0]
+            )
+            xl_nd_walls.append(time.perf_counter() - t0)
+            assert got["r"] == xl_rows
+            t0 = time.perf_counter()
             spark.read.orc(xl_ref).select(force).collect()
             xl_ref_walls.append(time.perf_counter() - t0)
         timings["decode_pages_xl"] = round(min(xl_walls[1:]), 3)
+        timings["decode_pages_neardata_xl"] = round(min(xl_nd_walls[1:]), 3)
         timings["reference_orc_read_xl"] = round(min(xl_ref_walls[1:]), 3)
         extras["xl_raw_bytes"] = xl_raw
         extras["decode_gbps_xl"] = round(xl_raw / min(xl_walls[1:]) / 1e9, 4)
+        extras["decode_neardata_gbps_xl"] = round(
+            xl_raw / min(xl_nd_walls[1:]) / 1e9, 4
+        )
         extras["ref_decode_gbps_xl"] = round(
             xl_raw / min(xl_ref_walls[1:]) / 1e9, 4
         )
-        extras["decode_vs_reference_wall_xl"] = round(
+        extras["decode_materialize_vs_reference_wall_xl"] = round(
             min(xl_walls[1:]) / min(xl_ref_walls[1:]), 4
+        )
+        extras["decode_vs_reference_wall_xl"] = round(
+            min(xl_nd_walls[1:]) / min(xl_ref_walls[1:]), 4
         )
 
         # ---- XL encode A/B (same 3x input) --------------------------------

@@ -33,6 +33,7 @@ def _decode_partition_factory(
     predicate: tuple | None = None,
     streams_dir: str | None = None,
     stripe_predicate: tuple | None = None,
+    map_fn=None,
 ):
     def _streams_from_file(footer: dict) -> dict[tuple[str, str], memoryview]:
         """Files-sink fetch: mmap the stripe file and slice the needed
@@ -134,6 +135,15 @@ def _decode_partition_factory(
                 footer = dict(footer)
                 footer["columns"] = [c for c in footer["columns"] if c["name"] in columns]
             out = stripe_mod.decode_stripe(streams, footer, row_groups=row_groups)
+            if map_fn is not None:
+                # compute-near-data: the caller's vectorized transform
+                # runs HERE, on the decoded Arrow table, before anything
+                # crosses the Python->JVM boundary — only its (usually
+                # tiny) result ships back.  At 100 TB this is the shape
+                # that matters: the decoded corpus never moves.
+                out = map_fn(out)
+                if isinstance(out, pa.RecordBatch):
+                    out = pa.Table.from_batches([out])
             # one output batch per stripe: the decode already holds the
             # whole stripe resident (the writer's memory budget bounds
             # stripe size), and fewer/larger IPC frames measurably cut
@@ -149,6 +159,7 @@ def _decode_paths_factory(
     predicate: tuple | None = None,
     streams_dir: str | None = None,
     stripe_predicate: tuple | None = None,
+    map_fn=None,
 ):
     """mapInArrow function over a DataFrame of manifest-file *paths*
     (files sink only): each task pyarrow-reads its manifest files —
@@ -159,7 +170,7 @@ def _decode_paths_factory(
     the reference reader's entire warm read of 3 GiB."""
     inner = _decode_partition_factory(
         columns, verify_crc, predicate=predicate, streams_dir=streams_dir,
-        stripe_predicate=stripe_predicate,
+        stripe_predicate=stripe_predicate, map_fn=map_fn,
     )
 
     def decode_paths(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -206,8 +217,15 @@ def run_decode(
     reader_schema: str | None = None,
     positional: bool = False,
     case_sensitive: bool = False,
+    map_fn=None,
+    map_schema: str | None = None,
 ) -> DataFrame:
     """Decode the streams table back to a DataFrame of the original schema.
+
+    ``map_fn`` (with ``map_schema``, a DDL string describing its output)
+    runs a vectorized compute-near-data transform ``pa.Table -> pa.Table``
+    on each decoded stripe INSIDE the scan task, so only its result ever
+    crosses the Python->JVM boundary — see :func:`run_decode_map`.
 
     ``stripe_filter`` prunes whole stripes BEFORE the shuffle — the
     engine-side analog of the reference's stripe-level SearchArgument
@@ -243,6 +261,15 @@ def run_decode(
     """
     if reader_schema is not None and (columns or cast_to):
         raise ValueError("reader_schema is mutually exclusive with columns/cast_to")
+    if map_fn is not None:
+        if map_schema is None:
+            raise ValueError("map_fn requires map_schema (output DDL)")
+        if cast_to or reader_schema or row_filter:
+            raise ValueError(
+                "map_fn is mutually exclusive with cast_to/reader_schema/"
+                "row_filter (those operate on the decoded DataFrame)"
+            )
+        schema_ddl = map_schema
     import os as _os
 
     sample = _sample_footer(spark, streams_dir)
@@ -298,7 +325,7 @@ def run_decode(
         rr = [p for j in range(n_parts) for p in paths[j::n_parts]]
         fn = _decode_paths_factory(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
-            streams_dir=streams_dir, stripe_predicate=pred,
+            streams_dir=streams_dir, stripe_predicate=pred, map_fn=map_fn,
         )
         paths_df = spark.createDataFrame(
             spark.sparkContext.parallelize([(p,) for p in rr], n_parts),
@@ -314,7 +341,7 @@ def run_decode(
         raw = raw.filter(is_footer)
         fn = _decode_partition_factory(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
-            streams_dir=streams_dir,
+            streams_dir=streams_dir, map_fn=map_fn,
         )
         n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
         out = raw.repartition(n_parts).mapInArrow(fn, schema=schema_ddl)
@@ -334,7 +361,7 @@ def run_decode(
         raw = raw.filter(is_footer | data_keep | bloom_keep)
         fn = _decode_partition_factory(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
-            streams_dir=streams_dir,
+            streams_dir=streams_dir, map_fn=map_fn,
         )
         # parquet sink: a stripe's stream rows must co-locate -> hash on
         # stripe_id; 2x cores halves collision imbalance (worth the extra
@@ -364,6 +391,46 @@ def run_decode(
             ]
         )
     return out
+
+
+def run_decode_map(
+    spark: SparkSession,
+    streams_dir: str,
+    map_fn,
+    map_schema: str,
+    **kwargs,
+) -> DataFrame:
+    """Decode and apply a vectorized compute-near-data transform.
+
+    ``map_fn(table: pa.Table) -> pa.Table | pa.RecordBatch`` runs on each
+    decoded stripe INSIDE the scan task, after projection / stripe- and
+    row-group pruning and before anything crosses the Python->JVM
+    boundary; ``map_schema`` is the DDL of its output.  Only the
+    transform's result ships back to Spark — for a per-stripe aggregate
+    that is one row per stripe instead of the decoded corpus, which at
+    10^12-document scale is the difference between moving kilobytes and
+    re-moving the table.  This is the reader-side twin of the writer's
+    vectorized encode path: the same role ORC's reader-side
+    RowFilter/SearchArgument callbacks play (RecordReaderImpl row-level
+    filtering), generalized to any Arrow computation.
+
+    Accepts every :func:`run_decode` keyword (columns, stripe_filter,
+    rowgroup_prune, ...) except the DataFrame-side post-processing ones
+    (cast_to / reader_schema / row_filter), which are meaningless once
+    the output schema is the transform's.
+
+    Example — corpus byte count without materializing the corpus::
+
+        def octets(t):
+            n = sum(
+                pa.compute.sum(pa.compute.binary_length(t[c])).as_py() or 0
+                for c in t.column_names
+            )
+            return pa.table({"octets": pa.array([n], pa.int64())})
+
+        run_decode_map(spark, d, octets, "octets long").agg(F.sum("octets"))
+    """
+    return run_decode(spark, streams_dir, map_fn=map_fn, map_schema=map_schema, **kwargs)
 
 
 def file_schema_fields(spark: SparkSession, streams_dir: str) -> list[tuple[str, str]]:

@@ -511,3 +511,103 @@ def test_input_strategy_partial_failure_group_resume(spark, pages_path, tmp_path
     for name, size in sizes.items():
         assert os.path.getsize(os.path.join(out, "stripes", name)) == size
     _compare_roundtrip(spark, df, out)
+
+
+def test_decode_map_compute_near_data(spark, pages_path, tmp_path):
+    """run_decode_map: a vectorized transform runs on each decoded stripe
+    inside the scan task; only its result crosses the Python->JVM
+    boundary.  Checked against the same aggregate computed JVM-side over
+    the fully-materialized decode, on both sinks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pages_path)
+    out_files = str(tmp_path / "streams_files")
+    encode_job.run_encode(
+        df, out_files, strategy="input", target_rows_per_stripe=1500,
+        fingerprint="pages@42", sink="files",
+    )
+    out_parquet = str(tmp_path / "streams_parquet")
+    encode_job.run_encode(
+        df, out_parquet, strategy="hash", n_stripes=4, fingerprint="pages@42",
+    )
+
+    def octets(t: pa.Table) -> pa.Table:
+        total = 0
+        for name in ("url", "html", "text", "lang"):
+            col = t[name]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                col = pc.cast(col, pa.large_binary())
+            total += pc.sum(pc.binary_length(col)).as_py() or 0
+        return pa.table(
+            {"octets": pa.array([total], pa.int64()),
+             "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    expect_rows = df.count()
+    expect_octets = df.select(
+        F.sum(
+            sum(
+                F.coalesce(F.octet_length(c), F.lit(0))
+                for c in ("url", "html", "text", "lang")
+            )
+        )
+    ).collect()[0][0]
+    for out in (out_files, out_parquet):
+        got = (
+            decode_job.run_decode_map(
+                spark, out, octets, "octets long, rows long"
+            )
+            .agg(F.sum("octets").alias("o"), F.sum("rows").alias("r"))
+            .collect()[0]
+        )
+        assert got["r"] == expect_rows
+        assert got["o"] == expect_octets
+
+
+def test_decode_map_composes_with_pruning(spark, pages_path, tmp_path):
+    """map_fn sees only the stripes/rows that survive stripe pruning and
+    the projection: per-stripe row counts under a lang filter match the
+    materialized pruned decode."""
+    import pyarrow as pa
+
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=4,
+        sort_within=["lang", "warc_ts"], fingerprint="pages@42", sink="files",
+    )
+    pred = ("eq", "lang", "en")
+
+    def nrows(t: pa.Table) -> pa.Table:
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    got = (
+        decode_job.run_decode_map(
+            spark, out, nrows, "rows long",
+            columns=["lang"], stripe_filter=pred,
+        )
+        .groupBy()
+        .sum("rows")
+        .collect()[0][0]
+    )
+    expect = decode_job.run_decode(
+        spark, out, columns=["lang"], stripe_filter=pred
+    ).count()
+    assert got == expect
+
+
+def test_decode_map_rejects_dataframe_side_options(spark, pages_path, tmp_path):
+    import pyarrow as pa
+
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    encode_job.run_encode(df, out, strategy="hash", n_stripes=2)
+    with pytest.raises(ValueError, match="map_fn"):
+        decode_job.run_decode(
+            spark, out, map_fn=lambda t: t, map_schema="rows long",
+            cast_to={"lang": "string"},
+        )
+    with pytest.raises(ValueError, match="map_schema"):
+        decode_job.run_decode(spark, out, map_fn=lambda t: t)
