@@ -689,6 +689,63 @@ ORDER BY doc_id
 """
 
 
+def _neardata_agg_documents(spark, sf_dir):
+    """Compute-near-data decode (run_decode_map): encode documents to the
+    files sink, decode every stripe and run a vectorized per-lang
+    aggregate INSIDE the scan task — only per-stripe partials cross the
+    Python->JVM boundary, never the decoded corpus.  Full SQL value
+    oracle (per-lang text byte totals and counts)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sparc.job import decode_job, encode_job
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sparc_nd_") + "/streams"
+    encode_job.run_encode(
+        docs, out, key="doc_id", strategy="hash", n_stripes=4,
+        resume=False, sink="files",
+    )
+
+    def per_lang(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["lang"])
+        lang = t["lang"].filter(keep)
+        text = pc.cast(t["text"].filter(keep), pa.large_binary())
+        g = pa.table(
+            {"lang": lang, "b": pc.binary_length(text)}
+        ).group_by("lang").aggregate([("b", "sum"), ("b", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "tb": pc.cast(g["b_sum"], pa.int64()),
+                "cnt": pc.cast(g["b_count"], pa.int64()),
+            }
+        )
+
+    partials = decode_job.run_decode_map(
+        spark, out, per_lang, "lang string, tb long, cnt long",
+        columns=["lang", "text"],
+    )
+    return (
+        partials.groupBy("lang")
+        .agg(F.sum("tb").alias("text_bytes"), F.sum("cnt").alias("n_texts"))
+        .orderBy("lang")
+    )
+
+
+_NEARDATA_AGG_DOCUMENTS_SQL = """
+SELECT lang,
+       CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+       CAST(count(text) AS BIGINT) AS n_texts
+FROM documents
+WHERE lang IS NOT NULL
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def _stripe_prune_documents(spark, sf_dir):
     """Engine-internal: encode documents into stripes with stats+bloom,
     then count stripes kept by a stats range probe and a bloom point
@@ -1189,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_varchar_documents": _char_varchar_documents,
         "stripe_prune_documents": _stripe_prune_documents,
         "prune_decode_documents": _prune_decode_documents,
+        "neardata_agg_documents": _neardata_agg_documents,
     }
 
 
@@ -1221,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": _LSH_RECALL_SQL,
         "embedding_dups_exact": _EMBEDDING_DUPS_EXACT_SQL,
         "prune_decode_documents": _PRUNE_DECODE_DOCUMENTS_SQL,
+        "neardata_agg_documents": _NEARDATA_AGG_DOCUMENTS_SQL,
         "ivf_topk": _SIMSEARCH_SQL,  # nprobe==nlist: IVF is exact
         "ivf_recall": _IVF_RECALL_SQL,
         "mask_redact": _MASK_REDACT_SQL,
