@@ -210,16 +210,26 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     results = []
     for n, n4, n_rows in pairs:
+        import bench as bench_mod
+
+        canary = [bench_mod.host_canary_seconds()]
         ceiling = cpu_ceiling(n, n4)
         n_stripes = max(n4 * 4, 32)
         staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
         raw_bytes: list = []
         j_n, ji_n, jp_n, s_n, f_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
+        canary.append(bench_mod.host_canary_seconds())
         j_4n, ji_4n, jp_4n, s_4n, f_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
+        canary.append(bench_mod.host_canary_seconds())
         raw = raw_bytes[0]
         speedup = n4 / n
         rec = {
             "pair": f"local[{n}] -> local[{n4}]",
+            # first-touch-fault canary before the ceiling probe, between
+            # the N and 4N measurements, and after: a storm hitting one
+            # side but not the other invalidates the efficiency number,
+            # and the record should carry that context itself
+            "host_canary_s": canary,
             "n_rows": n_rows,
             "raw_bytes": raw,
             "n_stripes": n_stripes,
