@@ -433,7 +433,8 @@ def main() -> None:
         t0 = time.perf_counter()
         got = (
             decode_job.run_decode_map(
-                spark, inp_dir, _octets_map, "octets long, rows long"
+                spark, inp_dir, _octets_map, "octets long, rows long",
+                columns=["url", "html", "text", "lang"],
             )
             .agg(F.sum("octets"), F.sum("rows").alias("r"))
             .collect()[0]
@@ -477,7 +478,8 @@ def main() -> None:
             t0 = time.perf_counter()
             got = (
                 decode_job.run_decode_map(
-                    spark, xl_ours, _octets_map, "octets long, rows long"
+                    spark, xl_ours, _octets_map, "octets long, rows long",
+                    columns=["url", "html", "text", "lang"],
                 )
                 .agg(F.sum("octets"), F.sum("rows").alias("r"))
                 .collect()[0]
