@@ -1,19 +1,18 @@
 #!/bin/bash
 # Wait for a healthy host window (first-touch-fault canary < threshold),
-# then land bench.py and scaling_bench.py records in that window.
-# This VM swings between ~1 s and >120 s on the same 800 MB alloc+touch
-# canary (see BENCH/BASELINE.md "Host caveats"); measurements taken in a
-# storm window are honest but useless for comparison, so records are
-# canary-gated.  Loops forever, numbering successive window records
-# (bench_r4_window2.json, window3, ...) so reruns after code changes
-# land fresh artifacts; holds /tmp/sparc_bench.lock while measuring so
-# other workloads can yield the host.
+# then land ONE record per window, alternating bench.py and
+# scaling_bench.py — each takes 10-25 min and this VM's healthy windows
+# can be shorter than both back-to-back.  Loops forever, numbering
+# successive window records (bench_r4_window2.json, window3, ...) so
+# reruns after code changes land fresh artifacts; holds
+# /tmp/sparc_bench.lock while measuring so other workloads can yield.
 set -u
 cd /root/repo
 THRESH=${CANARY_THRESH:-4.0}
 LOG=/tmp/healthy_bench.log
 LOCK=/tmp/sparc_bench.lock
 WIN=${WINDOW_START:-2}
+NEXT=bench
 echo "watcher start $(date)" >> "$LOG"
 
 canary() {
@@ -24,7 +23,6 @@ print(round(time.perf_counter()-t0,1))" 2>/dev/null | tail -1
 }
 
 while true; do
-  # yield to foreground experiments: they create the lock too
   while [ -e "$LOCK" ]; do sleep 30; done
   c1=$(canary); c1=${c1:-999}
   echo "canary $c1 $(date +%T)" >> "$LOG"
@@ -34,26 +32,32 @@ while true; do
     echo "canary2 $c2 $(date +%T)" >> "$LOG"
     if python3 -c "exit(0 if float('$c2') < $THRESH else 1)"; then
       touch "$LOCK"
-      echo "healthy window $WIN - running bench $(date +%T)" >> "$LOG"
-      timeout 2400 python bench.py > /tmp/bench_healthy.out 2>&1
-      rc=$?
-      echo "bench rc=$rc $(date +%T)" >> "$LOG"
-      grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
-      if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
-        cp /tmp/bench_healthy.json "BENCH/bench_r4_window${WIN}.json"
-        echo "bench recorded window${WIN} $(date +%T)" >> "$LOG"
-        echo "running scaling $(date +%T)" >> "$LOG"
+      if [ "$NEXT" = bench ]; then
+        echo "healthy window $WIN - running bench $(date +%T)" >> "$LOG"
+        timeout 2400 python bench.py > /tmp/bench_healthy.out 2>&1
+        rc=$?
+        echo "bench rc=$rc $(date +%T)" >> "$LOG"
+        grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
+        if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
+          cp /tmp/bench_healthy.json "BENCH/bench_r4_window${WIN}.json"
+          echo "bench recorded window${WIN} $(date +%T)" >> "$LOG"
+          WIN=$((WIN + 1))
+          NEXT=scaling
+        fi
+      else
+        echo "healthy window - running scaling $(date +%T)" >> "$LOG"
         timeout 3000 python scaling_bench.py > /tmp/scaling_healthy.out 2>&1
         src=$?
         echo "scaling rc=$src $(date +%T)" >> "$LOG"
         if [ $src -eq 0 ] && [ -s BENCH/scaling.json ]; then
-          cp BENCH/scaling.json "BENCH/scaling_r4_window${WIN}.json"
+          cp BENCH/scaling.json "BENCH/scaling_r4_window.json"
+          echo "scaling recorded $(date +%T)" >> "$LOG"
+          NEXT=bench
         fi
-        WIN=$((WIN + 1))
       fi
       rm -f "$LOCK"
-      sleep 300
+      sleep 180
     fi
   fi
-  sleep 120
+  sleep 90
 done
