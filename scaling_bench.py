@@ -77,6 +77,42 @@ def cpu_ceiling(n: int, n4: int, reps: int = 3) -> float:
     return (a_4n / a_n) / (n4 / n)
 
 
+def _fault(q, barrier, mb):
+    """Per-process fault-path probe: allocate + first-touch ``mb`` MiB of
+    fresh anonymous memory.  This VM's fault path serializes under
+    concurrency (measured: identical 32-way work costs 6x the system
+    time of 1-way — BENCH/BASELINE.md), so any job that faults fresh
+    pages in its workers is capped below the ALU/bandwidth ceiling."""
+    import numpy as np
+
+    barrier.wait()
+    t0 = time.perf_counter()
+    a = np.empty(mb << 20, dtype=np.uint8)
+    a[::4096] = 1
+    q.put(mb / (time.perf_counter() - t0))
+
+
+def fault_ceiling(n: int, n4: int, mb: int = 256) -> float:
+    """Scaling efficiency of concurrent fresh-page faulting alone
+    (aggregate MiB/s at 4N vs N, normalized).  Reported next to the
+    kernel-CPU ceiling: the job's achievable efficiency lies between
+    them depending on how much fresh memory its processes touch."""
+
+    def agg(nproc: int) -> float:
+        q = mp.Queue()
+        barrier = mp.Barrier(nproc)
+        ps = [mp.Process(target=_fault, args=(q, barrier, mb)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        rates = [q.get() for _ in range(nproc)]
+        for p in ps:
+            p.join()
+        return sum(rates)
+
+    a_n, a_4n = agg(n), agg(n4)
+    return (a_4n / a_n) / (n4 / n)
+
+
 def _session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -214,6 +250,7 @@ def main() -> None:
 
         canary = [bench_mod.host_canary_seconds()]
         ceiling = cpu_ceiling(n, n4)
+        f_ceiling = fault_ceiling(n, n4)
         n_stripes = max(n4 * 4, 32)
         staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
         raw_bytes: list = []
@@ -270,6 +307,7 @@ def main() -> None:
                 max(s_n - f_n, 1e-9) / max(s_4n - f_4n, 1e-9) / speedup, 4
             ),
             "hardware_ceiling_efficiency": round(ceiling, 4),
+            "fault_path_ceiling_efficiency": round(f_ceiling, 4),
             "stage_efficiency_vs_ceiling": round((s_n / s_4n) / speedup / ceiling, 4),
         }
         results.append(rec)
