@@ -174,14 +174,41 @@ def _decode_paths_factory(
     )
 
     def decode_paths(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from .. import runtime
 
         runtime.init_worker()
         for b in batches:
-            for path in b.column("path").to_pylist():
+            for path, shard, n_shards in zip(
+                b.column("path").to_pylist(),
+                b.column("shard").to_pylist(),
+                b.column("n_shards").to_pylist(),
+            ):
                 tbl = pq.read_table(path, use_threads=False)
+                if n_shards > 1 and tbl.num_rows:
+                    # sub-manifest shard: this task decodes every
+                    # n_shards-th FOOTER row (one footer per stripe, so
+                    # the shard's unit is the stripe); any non-footer
+                    # rows ride with their stripe's footer.  Re-reading a
+                    # small footer-only manifest n_shards times costs
+                    # ~ms; leaving cores idle because manifests < cores
+                    # costs a full extra stripe-decode of wall (measured
+                    # 20 manifests / 32 stripes / 32 cores: worst task
+                    # carried 2 stripes).
+                    is_footer = pc.equal(tbl["kind"], "FOOTER").to_numpy(
+                        zero_copy_only=False
+                    )
+                    ordinals = np.cumsum(is_footer) - 1
+                    keep = is_footer & (ordinals % n_shards == shard)
+                    if not is_footer.all():
+                        sids = np.asarray(tbl["stripe_id"].to_numpy(
+                            zero_copy_only=False
+                        ))
+                        own = np.isin(sids, sids[keep])
+                        keep = keep | own
+                    tbl = tbl.filter(pa.array(keep))
                 if tbl.num_rows:
                     yield from inner(tbl.to_batches())
 
@@ -320,16 +347,22 @@ def run_decode(
         # sorted path list balances tasks (manifest files ~ uniform
         # stripes/task); parallelize slices it contiguously.
         paths = _manifest_paths(streams_dir)
-        n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
-        n_parts = max(1, min(n_parts, len(paths)))
-        rr = [p for j in range(n_parts) for p in paths[j::n_parts]]
+        target = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+        # one scan unit per (manifest, shard): when manifests < target
+        # parallelism, shard BELOW manifest granularity — each shard
+        # decodes every n_shards-th footer (stripe) of its manifest, so
+        # task count tracks cores instead of the encoder's task count
+        n_shards = max(1, -(-target // max(len(paths), 1)))
+        units = [(p, s, n_shards) for p in paths for s in range(n_shards)]
+        n_parts = max(1, min(target, len(units)))
+        rr = [u for j in range(n_parts) for u in units[j::n_parts]]
         fn = _decode_paths_factory(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
             streams_dir=streams_dir, stripe_predicate=pred, map_fn=map_fn,
         )
         paths_df = spark.createDataFrame(
-            spark.sparkContext.parallelize([(p,) for p in rr], n_parts),
-            "path string",
+            spark.sparkContext.parallelize(rr, n_parts),
+            "path string, shard int, n_shards int",
         )
         out = paths_df.mapInArrow(fn, schema=schema_ddl)
     elif sample.get("stripe_file"):
