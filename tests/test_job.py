@@ -611,3 +611,25 @@ def test_decode_map_rejects_dataframe_side_options(spark, pages_path, tmp_path):
         )
     with pytest.raises(ValueError, match="map_schema"):
         decode_job.run_decode(spark, out, map_fn=lambda t: t)
+
+
+def test_decode_shards_below_manifest_granularity(spark, pages_path, tmp_path):
+    """Paths-mode decode with target parallelism far above the manifest
+    count: each (manifest, shard) unit decodes a disjoint footer subset,
+    and the union is exactly-once — no dropped or duplicated stripes.
+    Covers the n_shards > 1 branch of _decode_paths_factory with multiple
+    stripes per manifest and pre-footer data rows riding along."""
+    df = spark.read.parquet(pages_path)
+    out = str(tmp_path / "streams")
+    # few encode tasks -> few manifests, several stripes per manifest
+    encode_job.run_encode(
+        df, out, strategy="hash", n_stripes=8, n_partitions=2, sink="files",
+    )
+    manifests = glob.glob(os.path.join(out, "part-*"))
+    assert 0 < len(manifests) <= 2
+    # forced 16-way target: n_shards = ceil(16 / len(manifests)) >= 8
+    decoded = decode_job.run_decode(spark, out, n_partitions=16)
+    assert decoded.rdd.getNumPartitions() > len(manifests)
+    _compare_roundtrip(spark, df, out, n_partitions=16)
+    # shard edge: more shards than stripes in a manifest (empty shards)
+    _compare_roundtrip(spark, df, out, n_partitions=64)
