@@ -547,6 +547,190 @@ def _rg_double_stats(vals: np.ndarray, has_null: bool) -> bytes:
     return out
 
 
+def _rg_date_stats(days: np.ndarray, has_null: bool) -> bytes:
+    """ColumnStatistics with DateStatistics (sint32 min=1/max=2, days
+    since epoch) — the field ColumnStatisticsImpl$DateStatisticsImpl
+    deserializes for DATE columns (IntegerStatistics on a DATE column is
+    ignored by the reference reader, i.e. unprunable)."""
+    out = _f_varint(1, int(days.size))
+    if days.size:
+        body = _f_varint(1, _zz(int(days.min()))) + _f_varint(2, _zz(int(days.max())))
+        out += _f_bytes(7, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _rg_timestamp_stats(vals: np.ndarray, unit_scale: int, has_null: bool) -> bytes:
+    """ColumnStatistics with TimestampStatistics (sint64 epoch millis:
+    minimum=1/maximum=2 plus the ORC-611 minimumUtc=3/maximumUtc=4 pair —
+    identical here because writerTimezone is always UTC).  The maximum is
+    rounded UP to the next millisecond so sub-millisecond true values
+    never fall outside the recorded bound (the reference writer carries
+    the remainder in maximumNanos; omitting that field obliges a ceil)."""
+    out = _f_varint(1, int(vals.size))
+    if vals.size:
+        lo, hi = int(vals.min()), int(vals.max())
+        per_ms = unit_scale // 1000  # unit ticks per millisecond (>=1)
+        ms_lo = lo // per_ms if per_ms > 1 else lo * (1000 // unit_scale)
+        ms_hi = -((-hi) // per_ms) if per_ms > 1 else hi * (1000 // unit_scale)
+        body = (
+            _f_varint(1, _zz(ms_lo)) + _f_varint(2, _zz(ms_hi))
+            + _f_varint(3, _zz(ms_lo)) + _f_varint(4, _zz(ms_hi))
+        )
+        out += _f_bytes(9, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _rg_decimal_stats(arr: pa.Array, has_null: bool) -> bytes:
+    """ColumnStatistics with DecimalStatistics (string minimum=1/
+    maximum=2 in HiveDecimal plain form, trailing zeros stripped — the
+    same canonical form the bloom addString path uses).  ``arr`` is
+    non-null."""
+    from . import orcread as _orcread
+
+    out = _f_varint(1, len(arr))
+    if len(arr):
+        mm = pa.compute.min_max(arr)
+        body = _f_bytes(
+            1, _orcread._orc_decimal_str(mm["min"].as_py()).encode()
+        ) + _f_bytes(2, _orcread._orc_decimal_str(mm["max"].as_py()).encode())
+        out += _f_bytes(6, body)
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _rg_bool_stats(n_true: int, n_values: int, has_null: bool) -> bytes:
+    """ColumnStatistics with BucketStatistics (packed uint64 count of
+    true values)."""
+    out = _f_varint(1, n_values)
+    out += _f_bytes(5, _f_packed(1, [n_true]))
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _rg_binary_stats(total_bytes: int, n_values: int, has_null: bool) -> bytes:
+    """ColumnStatistics with BinaryStatistics (sint64 sum of lengths)."""
+    out = _f_varint(1, n_values)
+    out += _f_bytes(8, _f_varint(1, _zz(total_bytes)))
+    out += _varint(10 << 3) + (b"\x01" if has_null else b"\x00")
+    return out
+
+
+def _uvarint_prefix(pb: bytes) -> tuple[int, int]:
+    """(numberOfValues, bytes consumed) from the front of a
+    ColumnStatistics blob — every builder above emits field 1 first."""
+    assert pb[0] == 0x08, "ColumnStatistics must lead with numberOfValues"
+    v = 0
+    shift = 0
+    i = 1
+    while True:
+        b = pb[i]
+        v |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _node_stats_pb(arr: pa.Array) -> bytes:
+    """One ColumnStatistics over a whole (already parent-masked) leaf
+    value array — the per-STRIPE twin of the per-row-group builders
+    above, feeding the file Metadata section (StripeStatistics) and the
+    file-footer statistics list."""
+    t = arr.type
+    has_null = arr.null_count > 0
+    nn = arr.drop_null() if has_null else arr
+    if pa.types.is_date32(t):
+        return _rg_date_stats(stripe_mod._arrow_nonnull_int64(arr), has_null)
+    if pa.types.is_integer(t):
+        vals = stripe_mod._arrow_nonnull_int64(arr)
+        return _rg_int_stats(vals, len(arr), has_null)
+    if pa.types.is_timestamp(t):
+        return _rg_timestamp_stats(
+            stripe_mod._arrow_nonnull_int64(arr),
+            stripe_mod._TS_UNITS[t.unit],
+            has_null,
+        )
+    if pa.types.is_floating(t):
+        vals = nn.to_numpy(zero_copy_only=False).astype(np.float64)
+        return _rg_double_stats(vals, has_null)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        b = nn.cast(pa.large_binary())
+        if len(b):
+            mm = pa.compute.min_max(b)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            total = int(pa.compute.sum(pa.compute.binary_length(b)).as_py() or 0)
+        else:
+            mn = mx = None
+            total = 0
+        return _rg_string_stats(mn, mx, total, len(b), has_null)
+    if stripe_mod._is_binary_like(t):
+        b = nn.cast(pa.large_binary())
+        total = int(pa.compute.sum(pa.compute.binary_length(b)).as_py() or 0) if len(b) else 0
+        return _rg_binary_stats(total, len(b), has_null)
+    if pa.types.is_boolean(t):
+        n_true = int(pa.compute.sum(nn).as_py() or 0) if len(nn) else 0
+        return _rg_bool_stats(n_true, len(nn), has_null)
+    if pa.types.is_decimal(t):
+        return _rg_decimal_stats(nn, has_null)
+    return _min_stats(len(nn), has_null)
+
+
+def _tree_stats_pbs(node: dict, arr: pa.Array, out: list[bytes]) -> None:
+    """Pre-order ColumnStatistics for a column subtree, masking children
+    exactly as the encode walks do (struct children filtered by parent
+    validity, list/map children sliced to present parents' elements,
+    union variants gathered by tag) so the recorded statistics describe
+    precisely the values the streams contain."""
+    arr = _combined(arr)
+    t = node["t"]
+    if not _is_nested(t):
+        out.append(_node_stats_pb(arr))
+        return
+    has_null = arr.null_count > 0
+    out.append(_min_stats(len(arr) - arr.null_count, has_null))
+    if pa.types.is_struct(t):
+        valid_arr = arr.is_valid() if arr.null_count else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            child = _combined(arr.field(i))
+            if valid_arr is not None:
+                child = child.filter(valid_arr)
+            _tree_stats_pbs(child_node, child, out)
+        return
+    if pa.types.is_union(t):
+        codes = arr.type_codes.to_numpy(zero_copy_only=False)
+        lut = np.zeros(128, np.uint8)
+        for i, tc in enumerate(t.type_codes):
+            lut[tc] = i
+        tags = lut[codes]
+        dense = t.mode == "dense"
+        offs_u = arr.offsets.to_numpy(zero_copy_only=False) if dense else None
+        for i, (_, child_node) in enumerate(node["children"]):
+            rows = np.flatnonzero(tags == i)
+            take = offs_u[rows] if dense else rows
+            child = _combined(arr.field(i)).take(pa.array(take, pa.int64()))
+            _tree_stats_pbs(child_node, child, out)
+        return
+    # list / map
+    nn = arr.drop_null() if arr.null_count else arr
+    if pa.types.is_map(t):
+        offs = (
+            nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nn)
+            else np.zeros(1, np.int64)
+        )
+        lo_e, hi_e = int(offs[0]), int(offs[-1])
+        children = [
+            nn.keys.slice(lo_e, hi_e - lo_e),
+            nn.items.slice(lo_e, hi_e - lo_e),
+        ]
+    else:
+        children = [nn.flatten()]
+    for child, (_, child_node) in zip(children, node["children"]):
+        _tree_stats_pbs(child_node, child, out)
+
+
 def _encode_column_grouped(
     arr: pa.Array, bounds: list[tuple[int, int]], v11: bool
 ) -> tuple[list[tuple[int, list[bytes], int]], bytes, list[bytes]]:
@@ -589,12 +773,20 @@ def _encode_column_grouped(
         streams.append(
             (_STREAM_DATA, [rle(vals[vs(g)], True) for g in range(n_groups)], _EXTRAS_RLE)
         )
-        stats = [
-            _rg_int_stats(
-                vals[vs(g)], hi - lo, valid is not None and not valid[lo:hi].all()
-            )
-            for g, (lo, hi) in enumerate(bounds)
-        ]
+        if pa.types.is_date32(t):
+            stats = [
+                _rg_date_stats(
+                    vals[vs(g)], valid is not None and not valid[lo:hi].all()
+                )
+                for g, (lo, hi) in enumerate(bounds)
+            ]
+        else:
+            stats = [
+                _rg_int_stats(
+                    vals[vs(g)], hi - lo, valid is not None and not valid[lo:hi].all()
+                )
+                for g, (lo, hi) in enumerate(bounds)
+            ]
     elif pa.types.is_timestamp(t):
         unit_scale = stripe_mod._TS_UNITS[t.unit]
         vals = stripe_mod._arrow_nonnull_int64(arr)
@@ -612,6 +804,12 @@ def _encode_column_grouped(
                 _EXTRAS_RLE,
             )
         )
+        stats = [
+            _rg_timestamp_stats(
+                vals[vs(g)], unit_scale, valid is not None and not valid[lo:hi].all()
+            )
+            for g, (lo, hi) in enumerate(bounds)
+        ]
     elif pa.types.is_decimal(t):
         from ..kernels import bigdec
 
@@ -631,6 +829,13 @@ def _encode_column_grouped(
                 _EXTRAS_RLE,
             )
         )
+        stats = [
+            _rg_decimal_stats(
+                nn.slice(voffs[g], voffs[g + 1] - voffs[g]),
+                valid is not None and not valid[lo:hi].all(),
+            )
+            for g, (lo, hi) in enumerate(bounds)
+        ]
     elif pa.types.is_floating(t):
         np_t = np.float32 if pa.types.is_float32(t) else np.float64
         vals = nn.to_numpy(zero_copy_only=False).astype(np.dtype(np_t).newbyteorder("<"))
@@ -911,6 +1116,7 @@ def write_orc(
     stripe_infos = []
     total_rows = table.num_rows
     counts: dict[int, list] = {}  # id -> [n_values, has_null], via encode walk
+    stripe_stats_pbs: list[list[bytes]] = []  # per stripe: ColumnStatistics per id
 
     for lo in range(0, max(total_rows, 1), max(rows_per_stripe, 1)):
         chunk = table.slice(lo, rows_per_stripe)
@@ -1042,6 +1248,18 @@ def write_orc(
                     stream_meta.append((kind, cid, len(wrapped)))
                     data += wrapped
             encodings += [enc for _, _, enc in flat]
+        # per-stripe column statistics for the Metadata section — what
+        # lets the reference reader's sargApp.pickStripes skip WHOLE
+        # stripes before touching their indexes (RecordReaderImpl
+        # consults Reader.getStripeStatistics; granularity above the
+        # ROW_INDEX streams emitted per group below)
+        st_stats: list[bytes] = [_min_stats(chunk.num_rows, False)]
+        for i in range(n_cols):
+            col = chunk.column(i)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            _tree_stats_pbs(root_node["children"][i][1], col, st_stats)
+        stripe_stats_pbs.append(st_stats)
         out += index
         out += data
         # StripeFooter: streams=1, columns(encodings)=2, writerTimezone=3
@@ -1059,6 +1277,16 @@ def write_orc(
         )
 
     content_length = len(out)
+
+    # Metadata section (between stripes and footer): one StripeStatistics
+    # per stripe, one ColumnStatistics per column id — typed min/max so a
+    # SearchArgument can refute entire stripes from the tail alone
+    meta_pb = b"".join(
+        _f_bytes(1, b"".join(_f_bytes(1, cs) for cs in st))
+        for st in stripe_stats_pbs
+    )
+    metadata_wrapped = _orc_compress(meta_pb, compression)
+    out += metadata_wrapped
 
     # Footer
     footer = bytearray()
@@ -1079,12 +1307,24 @@ def write_orc(
     for tp in type_pbs:
         footer += _f_bytes(4, tp)
     footer += _f_varint(6, total_rows)
-    # per-id stats accumulated by the encode walk itself (one traversal
-    # produces streams AND counts, so they cannot drift apart)
+    # file-level per-id stats: typed min/max over the whole table (same
+    # masked walk as the stripe stats — lets the reader skip the entire
+    # file from the footer), cross-checked against the value counts the
+    # encode walk accumulated so the two traversals cannot drift apart
+    file_stats: list[bytes] = [_min_stats(total_rows, False)]
+    for i in range(n_cols):
+        col = table.column(i)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _tree_stats_pbs(root_node["children"][i][1], col, file_stats)
     counts[0] = [total_rows, False]
-    for cid in range(len(type_pbs)):
-        n_v, has_null = counts.get(cid, [0, False])
-        footer += _f_bytes(7, _min_stats(n_v, has_null))
+    for cid, st in enumerate(file_stats):
+        walk_n = counts.get(cid, [0, False])[0]
+        stat_n, _rest = _uvarint_prefix(st)
+        assert stat_n == walk_n, (
+            f"orcfile: column id {cid} stats count {stat_n} != encode walk {walk_n}"
+        )
+        footer += _f_bytes(7, st)
     footer += _f_varint(8, row_index_stride)
     footer_wrapped = _orc_compress(bytes(footer), compression)
     out += footer_wrapped
@@ -1096,8 +1336,15 @@ def write_orc(
     if compression != "NONE":
         ps += _f_varint(3, _ORC_CHUNK)  # compressionBlockSize
     ps += _f_packed(4, [0, 11] if v11 else [0, 12])  # file version
-    ps += _f_varint(5, 0)  # metadataLength
-    ps += _f_varint(6, 1)  # writerVersion
+    ps += _f_varint(5, len(metadata_wrapped))  # metadataLength
+    # writerVersion 9 = ORC_14, orc-core 2.2's CURRENT_WRITER: the reader
+    # trusts a statistic only if the writer postdates its bug fix, and
+    # this writer implements every gated contract — codepoint-ordered
+    # string bounds (HIVE_8732), NaN-free double bounds (HIVE_13083),
+    # UTF8 blooms (ORC_101), UTC timestamp statistics (ORC_135, else the
+    # reader ignores timestamp min/max entirely), canonical decimal
+    # strings (ORC_517), 1024-byte stat truncation (ORC_203)
+    ps += _f_varint(6, 9)
     ps += _f_bytes(8000, b"ORC")
     assert len(ps) < 256
     out += ps

@@ -782,6 +782,21 @@ def read_orc_filtered(
     stride = footer.get(8, [0])[0]
     if not stride:
         raise ValueError("read_orc_filtered: file has no row index")
+    # Metadata section (PostScript.metadataLength, field 5): per-stripe
+    # ColumnStatistics — the coarsest pruning level, evaluated BEFORE any
+    # stripe bytes (footer, indexes) are touched.  At object-store scale
+    # this is the difference between one tail fetch and one round-trip
+    # per stripe for stripes the statistics already refute.
+    meta_len = ps.get(5, [0])[0]
+    stripe_level_stats: list[list[dict]] = []
+    if meta_len:
+        meta_end = len(data) - 1 - ps_len - footer_len
+        meta = _parse_pb(_inflate(data[meta_end - meta_len : meta_end], kind))
+        for ss in meta.get(1, []):
+            cols_pb = _parse_pb(ss).get(1, [])
+            stripe_level_stats.append(
+                [_stats_from_pb(_parse_pb(c)) for c in cols_pb]
+            )
     types = [_parse_pb(t) for t in footer[4]]
     root = types[0]
     subtypes = _packed_varints(root[2][0]) if 2 in root else []
@@ -793,13 +808,25 @@ def read_orc_filtered(
     keep_groups: list[int] = []
     g_base = 0
     n_total = 0
-    for s in footer.get(3, []):
+    for s_i, s in enumerate(footer.get(3, [])):
         sp = _parse_pb(s)
         st_off, st_idx = sp[1][0], sp.get(2, [0])[0]
         st_data, st_foot = sp[3][0], sp[4][0]
         st_rows = sp[5][0]
         n_gr = (st_rows + stride - 1) // stride
         n_total += n_gr
+        if s_i < len(stripe_level_stats):
+            ss = stripe_level_stats[s_i]
+            st_col_stats = {
+                name: ss[tid]
+                for name, tid in pred_cols.items()
+                if tid < len(ss) and ss[tid]
+            }
+            if not sarg_mod.keep(predicate, st_col_stats):
+                # whole stripe refuted from the tail alone: its footer and
+                # index bytes are never read
+                g_base += n_gr
+                continue
         sf = _parse_pb(
             _inflate(
                 data[st_off + st_idx + st_data : st_off + st_idx + st_data + st_foot],

@@ -986,3 +986,150 @@ def test_bloom_ts_decimal_java_written_prune(spark, tmp_path):
     assert kd == 0
     got_d, _, kd2 = orv.read_orc_filtered(f, ("=", "dec", Decimal("2.01")))
     assert kd2 >= 1
+
+
+def test_metadata_stripe_statistics_parsed_by_java(spark, tmp_path):
+    """write_orc emits the ORC Metadata section (one StripeStatistics per
+    stripe, typed ColumnStatistics per column id) plus typed file-footer
+    statistics — the inputs to reference-side STRIPE elimination
+    (OrcInputFormat split pruning / Reader.getStripeStatistics, one level
+    above the ROW_INDEX skips already covered).  Verified by the live
+    Java reader parsing every typed domain back value-exactly."""
+    import datetime as dt
+    from decimal import Decimal
+
+    n = 6000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array([f"row-{i:06d}" for i in range(n)]),
+        "f": pa.array(np.arange(n) * 0.5),
+        "d": pa.array(
+            [dt.date(2020, 1, 1) + dt.timedelta(days=i % 900) for i in range(n)],
+            pa.date32(),
+        ),
+        "ts": pa.array(
+            [dt.datetime(2021, 1, 1) + dt.timedelta(seconds=i) for i in range(n)],
+            pa.timestamp("us"),
+        ),
+        "dec": pa.array([Decimal(i) / 100 for i in range(n)], pa.decimal128(12, 2)),
+        "b": pa.array([i % 3 == 0 for i in range(n)]),
+        "bin": pa.array([b"xy" * (i % 5) for i in range(n)], pa.binary()),
+        "nul": pa.array([None if i % 7 == 0 else i for i in range(n)], pa.int64()),
+    })
+    path = str(tmp_path / "meta_typed.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=2000, compression="ZLIB")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    ss = reader.getStripeStatistics()
+    assert ss.size() == 3
+    st = ss.get(1).getColumnStatistics()  # stripe 1 = rows 2000..3999
+    assert (st[1].getMinimum(), st[1].getMaximum()) == (2000, 3999)
+    assert (st[2].getMinimum(), st[2].getMaximum()) == ("row-002000", "row-003999")
+    assert st[2].getSum() == 2000 * 10
+    assert (st[3].getMinimum(), st[3].getMaximum(), st[3].getSum()) == (
+        1000.0, 1999.5, sum(i * 0.5 for i in range(2000, 4000)),
+    )
+    # date: i%900 covers the full 0..899 range inside the stripe
+    assert str(st[4].getMinimumLocalDate()).endswith("2020-01-01")
+    assert str(st[4].getMaximumLocalDate()).endswith("2022-06-18")
+    # timestamp millis (UTC): 2000s..3999s after 2021-01-01; the reader
+    # widens the (nanos-less) maximum by <1ms — conservative by contract
+    base_ms = int(dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert st[5].getMinimumUTC().getTime() == base_ms + 2_000_000
+    assert 0 <= st[5].getMaximumUTC().getTime() - (base_ms + 3_999_000) <= 1
+    assert str(st[6].getMinimum()) == "20" and str(st[6].getMaximum()) == "39.99"
+    assert st[7].getTrueCount() == sum(1 for i in range(2000, 4000) if i % 3 == 0)
+    assert st[8].getSum() == sum(2 * (i % 5) for i in range(2000, 4000))
+    assert st[9].hasNull() and st[9].getNumberOfValues() == 2000 - sum(
+        1 for i in range(2000, 4000) if i % 7 == 0
+    )
+    # file-level footer statistics, same typed domains
+    fs = reader.getStatistics()
+    assert (fs[1].getMinimum(), fs[1].getMaximum()) == (0, n - 1)
+    assert fs[9].hasNull()
+    assert fs[5].getMinimumUTC().getTime() == base_ms
+    # the indexed writer path emits the same section
+    path2 = str(tmp_path / "meta_idx.orc")
+    orcfile.write_orc(
+        t, path2, rows_per_stripe=2000, row_index_stride=504, compression="ZSTD"
+    )
+    r2 = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path2),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    st2 = r2.getStripeStatistics().get(2).getColumnStatistics()
+    assert (st2[1].getMinimum(), st2[1].getMaximum()) == (4000, 5999)
+    assert spark.read.orc(path2).count() == n
+
+
+def test_java_row_group_skip_on_date_and_timestamp(spark, tmp_path):
+    """The per-group ROW_INDEX statistics now carry Date/Timestamp/
+    Decimal-typed domains (ColumnStatisticsImpl deserializes stats BY
+    TYPE — IntegerStatistics on a DATE column is ignored, i.e.
+    unprunable).  Proof of pruning, not just tolerance: a low-level Java
+    RecordReader with a date sarg returns only the surviving row groups'
+    rows, far fewer than the file's total."""
+    import datetime as dt
+    from py4j.java_gateway import get_field
+
+    n = 40_000
+    t = pa.table({
+        "d": pa.array(
+            [dt.date(2020, 1, 1) + dt.timedelta(days=i // 100) for i in range(n)],
+            pa.date32(),
+        ),
+        "ts": pa.array(
+            [dt.datetime(2022, 1, 1) + dt.timedelta(seconds=i) for i in range(n)],
+            pa.timestamp("us"),
+        ),
+    })
+    path = str(tmp_path / "dts_idx.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=20_000, row_index_stride=1000, compression="ZLIB"
+    )
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    sf = jvm.org.apache.hadoop.hive.ql.io.sarg.SearchArgumentFactory
+    PL = jvm.org.apache.hadoop.hive.ql.io.sarg.PredicateLeaf
+
+    def rows_with(sarg, col):
+        cols = gw.new_array(jvm.java.lang.String, 2)
+        cols[1] = col
+        rr = reader.rows(reader.options().searchArgument(sarg, cols))
+        batch = reader.getSchema().createRowBatch()
+        total = 0
+        while rr.nextBatch(batch):
+            total += get_field(batch, "size")
+        rr.close()
+        return total
+
+    # day 250 lives in rows 25000..25099 -> exactly one 1000-row group
+    probe_day = jvm.java.time.LocalDate.of(2020, 9, 7)  # 2020-01-01 + 250d
+    sarg_d = (
+        sf.newBuilder().startAnd()
+        .equals("d", PL.Type.DATE, jvm.java.sql.Date.valueOf(str(probe_day)))
+        .end().build()
+    )
+    got_d = rows_with(sarg_d, "d")
+    assert got_d == 1000, got_d
+
+    # a 10-second timestamp window -> one group as well
+    ms = int(dt.datetime(2022, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    t_lo = jvm.java.sql.Timestamp(ms + 25_000_000)
+    t_hi = jvm.java.sql.Timestamp(ms + 25_009_000)
+    sarg_t = (
+        sf.newBuilder().startAnd()
+        .between("ts", PL.Type.TIMESTAMP, t_lo, t_hi)
+        .end().build()
+    )
+    got_t = rows_with(sarg_t, "ts")
+    assert got_t == 1000, got_t

@@ -233,3 +233,79 @@ def test_filtered_read_uses_reference_blooms(spark, tmp_path):
     got4, _, kept4 = orcread.read_orc_filtered(path, ("=", "s", "url-00050000"))
     assert kept4 >= 1
     assert "url-00050000" in got4.column("s").to_pylist()
+
+
+def test_stripe_level_prune_from_metadata_never_touches_refuted_stripes(
+    spark, tmp_path
+):
+    """read_orc_filtered consults the file Metadata section (per-stripe
+    ColumnStatistics) BEFORE any stripe bytes: a refuted stripe's footer
+    and ROW_INDEX are never read.  Observable, not inferred: the refuted
+    stripes' index+footer regions are OVERWRITTEN WITH GARBAGE on disk —
+    if the pruner touched them the parse would explode — and the
+    surviving stripe still decodes value-exactly.  Works identically on
+    reference-written files (their writer emits the same section)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sparc.engine import orcfile, orcread
+
+    n = 60_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"row-{i:06d}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "prune_meta.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=20_000, row_index_stride=1000,
+        compression="ZLIB",
+    )
+    # locate stripes from the tail, then corrupt stripes 0 and 2's index
+    # AND stripe-footer bytes
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    ps_len = data[-1]
+    ps = orcread._parse_pb(data[-1 - ps_len:-1])
+    footer = orcread._parse_pb(
+        orcread._inflate(
+            data[-1 - ps_len - ps[1][0]:-1 - ps_len], "ZLIB"
+        )
+    )
+    stripes = [orcread._parse_pb(s) for s in footer[3]]
+    assert len(stripes) == 3
+    for si in (0, 2):
+        sp = stripes[si]
+        off, idx_len = sp[1][0], sp[2][0]
+        data[off:off + idx_len] = b"\xde" * idx_len  # ROW_INDEX garbage
+        sf_off = off + idx_len + sp[3][0]
+        data[sf_off:sf_off + sp[4][0]] = b"\xad" * sp[4][0]  # StripeFooter garbage
+    with open(path, "wb") as f:
+        f.write(data)
+    got, total, kept = orcread.read_orc_filtered(
+        path, ("between", "k", 25_000, 25_009)
+    )
+    assert total == 60 and kept == 1
+    assert got.column("k").to_pylist()[:10] == list(range(25_000, 25_010))
+
+    # same pruning against a REFERENCE-written multi-stripe file
+    src = spark.range(300_000).selectExpr(
+        "id as k", "concat('v-', lpad(cast(id as string), 8, '0')) as s"
+    )
+    jdir = str(tmp_path / "java_stripes")
+    (
+        src.repartition(1).sortWithinPartitions("k").write.mode("overwrite")
+        .option("orc.stripe.size", 1_000_000)
+        .option("orc.row.index.stride", 10_000).orc(jdir)
+    )
+    jf = glob.glob(jdir + "/*.orc")[0]
+    got_j, total_j, kept_j = orcread.read_orc_filtered(
+        jf, ("between", "k", 123_000, 123_500)
+    )
+    ks = got_j.column("k").to_pylist()
+    assert kept_j == 1 and total_j == 30
+    assert all(123_000 <= k <= 123_500 for k in ks if 123_000 <= k <= 123_500)
+    assert {k for k in range(123_000, 123_501)} <= set(ks)
