@@ -157,7 +157,13 @@ DICT_THRESHOLD = 0.8  # orc.dictionary.key.threshold
 
 def _column_kind(t: pa.DataType) -> int:
     if pa.types.is_timestamp(t):
-        return _KIND["timestamp"]
+        # tz-aware Arrow timestamps are absolute instants -> the
+        # TIMESTAMP_INSTANT category (kind 18, "timestamp with local
+        # time zone"); tz-naive ones are wall-clock TIMESTAMP.  The
+        # stream encoding is identical (seconds-from-2015 + nanos) —
+        # with writerTimezone pinned to UTC the values need no
+        # conversion in either category.
+        return 18 if t.tz is not None else _KIND["timestamp"]
     if pa.types.is_decimal(t):
         return _KIND["decimal"]
     s = str(t)

@@ -145,7 +145,7 @@ _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long", 5: "float",
     6: "double", 7: "string", 8: "binary", 9: "timestamp", 10: "list",
     11: "map", 12: "struct", 13: "union", 14: "decimal", 15: "date",
-    16: "varchar", 17: "char",
+    16: "varchar", 17: "char", 18: "timestamp_instant",
 }
 _STREAM_KIND = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
                 5: "SECONDARY", 6: "ROW_INDEX", 8: "BLOOM_FILTER_UTF8",
@@ -344,6 +344,18 @@ def _decode_orc_column(
     if tk == "boolean":
         vals = bitfield.decode(streams["DATA"], n_vals)
         return scatter(vals, pa.bool_())
+    if tk == "timestamp_instant":
+        # TIMESTAMP_INSTANT ("timestamp with local time zone"): the wire
+        # value is an absolute instant relative to 2015-01-01 00:00 UTC —
+        # writerTimezone is irrelevant by definition, no wall-clock
+        # re-expression on either side (TimestampTreeReader's instantly-
+        # typed variant skips the zone adjustment)
+        seconds = rle.decode(streams["DATA"], n_vals, signed=True)
+        nanos = stripe_mod.parse_nanos(
+            rle.decode(streams["SECONDARY"], n_vals, signed=False)
+        )
+        us = (seconds + stripe_mod.TS_BASE_SECONDS) * 1_000_000 + nanos // 1_000
+        return scatter(us, pa.timestamp("us", tz="UTC"))
     if tk == "timestamp":
         utc = writer_tz in ("UTC", "GMT", "Etc/UTC", "Etc/GMT")
         if utc:
@@ -493,7 +505,9 @@ def _stream_coder(tk: str, skind: str, enc_kind: int) -> str:
 
 
 def _rle_signed(tk: str, skind: str) -> bool:
-    if skind == "DATA" and tk in ("byte", "short", "int", "long", "date", "timestamp"):
+    if skind == "DATA" and tk in (
+        "byte", "short", "int", "long", "date", "timestamp", "timestamp_instant"
+    ):
         return True
     return skind == "SECONDARY" and tk == "decimal"
 

