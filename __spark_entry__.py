@@ -1011,6 +1011,71 @@ _ORC_SEEK_SQL = (
 )
 
 
+def _orc_stripe_prune_crossread(spark, sf_dir):
+    """Stripe-level statistics pruning through the ORC Metadata section
+    (round 4): our writer emits per-stripe StripeStatistics, our
+    consumer refutes whole stripes from the tail before touching any
+    stripe bytes (sargApp.pickStripes analog one level above
+    pickRowGroups), then row-group-prunes and decodes the survivors.
+    Value-exact oracle: the returned rows ARE the filter's rows, so
+    DuckDB checks the whole prune+decode path end-to-end — a stripe
+    wrongly refuted would lose rows, a decode drift would change them."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sparc.engine import orcfile, orcread
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+    t = pa.Table.from_batches(docs._collect_as_arrow())
+    n = t.num_rows
+    path = tempfile.mkdtemp(prefix="sparc_sprune_") + "/docs.orc"
+    orcfile.write_orc(
+        t, path, rows_per_stripe=max(n // 5, 8), row_index_stride=104,
+        compression="ZLIB",
+    )
+    ids = t.column("doc_id")
+    lo = ids[n * 2 // 5].as_py()
+    hi = ids[min(n * 2 // 5 + max(n // 50, 5), n - 1)].as_py()
+    got, total_g, kept_g = orcread.read_orc_filtered(
+        path, ("between", "doc_id", lo, hi)
+    )
+    if n >= 40 and kept_g >= total_g:
+        raise AssertionError(
+            f"stripe/rowgroup pruning never engaged: kept {kept_g}/{total_g}"
+        )
+    # residual row-level filter on the surviving groups' rows
+    mask = pc.and_(
+        pc.greater_equal(got.column("doc_id"), lo),
+        pc.less_equal(got.column("doc_id"), hi),
+    )
+    exact = got.filter(mask).sort_by("doc_id")
+    return spark.createDataFrame(
+        exact.to_pandas(), "doc_id long, lang string, n_chars long"
+    )
+
+
+def _orc_stripe_prune_sql(sf_dir_rows_hint: None = None) -> str:
+    # mirrors the positional lo/hi pick above: doc_ids are the sorted
+    # distinct ids, lo at index floor(n*2/5), hi at index
+    # min(floor(n*2/5) + max(n//50, 5), n-1)
+    return (
+        "WITH ordered AS (SELECT doc_id FROM documents ORDER BY doc_id), "
+        "n AS (SELECT count(*) AS c FROM documents), "
+        "bounds AS (SELECT "
+        " (SELECT doc_id FROM ordered LIMIT 1 OFFSET (SELECT (c*2)//5 FROM n)) AS lo, "
+        " (SELECT doc_id FROM ordered LIMIT 1 OFFSET (SELECT "
+        "   CASE WHEN (c*2)//5 + greatest(c//50, 5) > c-1 THEN c-1 "
+        "        ELSE (c*2)//5 + greatest(c//50, 5) END FROM n)) AS hi) "
+        "SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars "
+        "FROM documents d, bounds b WHERE d.doc_id BETWEEN b.lo AND b.hi "
+        "ORDER BY d.doc_id"
+    )
+
+
 def _prep_pipeline_documents(spark, sf_dir):
     """Composite training-data prep step — the realistic chain a corpus
     pass runs: quality filter (JVM expression score) -> exact dedup
@@ -1223,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_crossread_documents": _orc_crossread_documents,
         "orc_nested_crossread": _orc_nested_crossread,
         "orc_seek_crossread": _orc_seek_crossread,
+        "orc_stripe_prune_crossread": _orc_stripe_prune_crossread,
         "encode_metrics_documents": lambda s, d: _encode_metrics(s, d, "documents"),
         # training-data pipeline ops
         "text_profile": _text_profile,
@@ -1270,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_documents": _SCHEMA_EVOLUTION_SQL,
         "orc_crossread_documents": _ORC_CROSSREAD_SQL,
         "orc_seek_crossread": _ORC_SEEK_SQL,
+        "orc_stripe_prune_crossread": _orc_stripe_prune_sql(),
         "orc_nested_crossread": _ORC_NESTED_CROSSREAD_SQL,
         "text_profile": _text_profile_sql(),
         "prep_pipeline_documents": _prep_pipeline_sql(),
