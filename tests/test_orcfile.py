@@ -1189,3 +1189,69 @@ def test_timestamp_instant_emit_both_readers(spark, tmp_path):
         total += get_field(batch, "size")
     rr.close()
     assert total == n
+
+
+def test_metadata_stripe_statistics_nested_java_parse(spark, tmp_path):
+    """The stats tree walk masks nested children exactly like the encode
+    walks (struct children filtered by parent validity, list children
+    sliced to present parents); the Java reader parsing the Metadata of a
+    nested file with nulls at BOTH levels proves the per-id protos line
+    up with the type tree."""
+    n = 3000
+    t = pa.table({
+        "rec": pa.array(
+            [
+                None if i % 9 == 4 else {"a": None if i % 5 == 0 else i, "b": f"s{i}"}
+                for i in range(n)
+            ],
+            pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        ),
+        "xs": pa.array(
+            [None if i % 7 == 3 else list(range(i % 4)) for i in range(n)],
+            pa.list_(pa.int64()),
+        ),
+    })
+    path = str(tmp_path / "nested_meta.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=1000, compression="ZLIB")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    ss = reader.getStripeStatistics()
+    assert ss.size() == 3
+    # ids pre-order: 0 root, 1 rec, 2 rec.a, 3 rec.b, 4 xs, 5 xs elem
+    st = ss.get(0).getColumnStatistics()
+    present_recs = [i for i in range(1000) if i % 9 != 4]
+    a_vals = [i for i in present_recs if i % 5 != 0]
+    assert st[1].getNumberOfValues() == len(present_recs) and st[1].hasNull()
+    assert st[2].getNumberOfValues() == len(a_vals)
+    assert (st[2].getMinimum(), st[2].getMaximum()) == (min(a_vals), max(a_vals))
+    assert st[3].getMinimum() == min(f"s{i}" for i in present_recs)
+    elem_count = sum(i % 4 for i in range(1000) if i % 7 != 3)
+    assert st[5].getNumberOfValues() == elem_count
+    assert spark.read.orc(path).count() == n
+
+
+def test_timestamp_instant_non_utc_display_zone(tmp_path):
+    """A tz-aware column whose display zone is not UTC still stores the
+    same absolute instants (Arrow's storage is UTC ticks regardless of
+    the display zone): round-trip through our writer + the C++ reader is
+    instant-identical."""
+    import pyarrow.orc as pa_orc
+
+    n = 2000
+    us = np.arange(n) * 3_600_000_001 + 1_262_304_000_000_000  # 2010-01-01
+    arr = pa.array(us.astype("datetime64[us]")).cast(
+        pa.timestamp("us", tz="America/Chicago")
+    )
+    t = pa.table({"ts": arr})
+    path = str(tmp_path / "instant_chi.orc")
+    orcfile.write_orc(t, path, rows_per_stripe=700, compression="ZSTD")
+    got = pa_orc.ORCFile(path).read()
+    assert got.schema.field("ts").type.tz is not None
+    assert (
+        got["ts"].cast(pa.timestamp("us", tz="UTC")).combine_chunks()
+        .equals(arr.cast(pa.timestamp("us", tz="UTC")))
+    )
