@@ -1072,6 +1072,7 @@ def write_orc(
     type_overrides: dict[str, tuple[str, int]] | None = None,
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.05,  # BloomFilter.DEFAULT_FPP
+    user_metadata: dict[str, bytes] | None = None,
 ) -> None:
     """Write ``table`` (flat schema) as an ORC file at ``path``.
 
@@ -1312,6 +1313,10 @@ def write_orc(
     _tree_type_pbs(root_node, type_pbs)
     for tp in type_pbs:
         footer += _f_bytes(4, tp)
+    # user metadata (Writer.addUserMetadata analog): Footer.metadata,
+    # repeated UserMetadataItem { name=1, value=2 }
+    for k, v in (user_metadata or {}).items():
+        footer += _f_bytes(5, _f_bytes(1, k.encode()) + _f_bytes(2, bytes(v)))
     footer += _f_varint(6, total_rows)
     # file-level per-id stats: typed min/max over the whole table (same
     # masked walk as the stripe stats — lets the reader skip the entire

@@ -771,6 +771,40 @@ def _stats_from_pb(spb: dict) -> dict:
     return out
 
 
+def read_orc_statistics(
+    path: str,
+) -> tuple[list[dict], list[list[dict]], dict[str, bytes]]:
+    """Reference Reader API analog (``Reader.getStatistics`` /
+    ``getStripeStatistics`` / ``getMetadataValue``): parse a file's tail
+    into (file column statistics per column id, per-stripe column
+    statistics from the Metadata section, user metadata).  Stats dicts
+    are the engine's sarg form ({min, max, n_values, n_nulls, ...});
+    unmapped typed domains yield bounds-free dicts.  Only the tail is
+    read — no stripe bytes are touched."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = _parse_pb(data[-1 - ps_len : -1])
+    footer_len = ps[1][0]
+    kind = _KINDS[ps.get(2, [0])[0]]
+    footer = _parse_pb(_inflate(data[-1 - ps_len - footer_len : -1 - ps_len], kind))
+    file_stats = [_stats_from_pb(_parse_pb(s)) for s in footer.get(7, [])]
+    user_meta: dict[str, bytes] = {}
+    for item in footer.get(5, []):
+        it = _parse_pb(item)
+        user_meta[bytes(it[1][0]).decode()] = bytes(it[2][0]) if 2 in it else b""
+    stripe_stats: list[list[dict]] = []
+    meta_len = ps.get(5, [0])[0]
+    if meta_len:
+        meta_end = len(data) - 1 - ps_len - footer_len
+        meta = _parse_pb(_inflate(data[meta_end - meta_len : meta_end], kind))
+        for ss in meta.get(1, []):
+            stripe_stats.append(
+                [_stats_from_pb(_parse_pb(c)) for c in _parse_pb(ss).get(1, [])]
+            )
+    return file_stats, stripe_stats, user_meta
+
+
 def read_orc_filtered(
     path: str, predicate: tuple, columns: list[str] | None = None
 ) -> tuple[pa.Table, int, int]:

@@ -312,3 +312,54 @@ def test_timestamp_instant_ingest_from_reference_writers():
         assert str(got.schema.field("ts").type) == "timestamp[us, tz=UTC]"
         exp = v.cast(pa.timestamp("us", tz="UTC"), safe=False)  # us floor
         assert got["ts"].combine_chunks().equals(exp)
+
+
+def test_statistics_api_and_user_metadata(spark, tmp_path):
+    """Reader-API analogs: read_orc_statistics parses file + per-stripe
+    statistics and user metadata from the tail alone; write_orc's
+    user_metadata round-trips through the Java reader
+    (Reader.getMetadataValue) and a Java-written file's own user
+    metadata parses back through ours."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sparc.engine import orcfile, orcread
+
+    t = pa.table({
+        "k": pa.array(np.arange(5000), pa.int64()),
+        "s": pa.array([f"x{i}" for i in range(5000)]),
+    })
+    path = str(tmp_path / "um.orc")
+    orcfile.write_orc(
+        t, path, rows_per_stripe=2000, compression="ZLIB",
+        user_metadata={"pipeline.fingerprint": b"abc123"},
+    )
+    fs, ss, um = orcread.read_orc_statistics(path)
+    assert fs[1] == {"n_values": 5000, "n_nulls": 0, "min": 0, "max": 4999}
+    assert len(ss) == 3 and ss[1][1]["min"] == 2000 and ss[1][1]["max"] == 3999
+    assert ss[2][2]["min"] == "x4000"
+    assert um == {"pipeline.fingerprint": b"abc123"}
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.orc.OrcFile.readerOptions(conf),
+    )
+    assert reader.hasMetadataValue("pipeline.fingerprint")
+    buf = reader.getMetadataValue("pipeline.fingerprint")
+    decoded = jvm.java.nio.charset.StandardCharsets.UTF_8.decode(buf).toString()
+    assert decoded == "abc123"
+    # reverse direction: a Java-written file's user metadata through ours
+    jpath = str(tmp_path / "java_um.orc")
+    wopts = jvm.org.apache.orc.OrcFile.writerOptions(conf).setSchema(
+        jvm.org.apache.orc.TypeDescription.fromString("struct<k:bigint>")
+    )
+    writer = jvm.org.apache.orc.OrcFile.createWriter(
+        jvm.org.apache.hadoop.fs.Path(jpath), wopts
+    )
+    writer.addUserMetadata(
+        "who", jvm.java.nio.ByteBuffer.wrap(bytearray(b"java-writer"))
+    )
+    writer.close()
+    _, _, um_j = orcread.read_orc_statistics(jpath)
+    assert um_j == {"who": b"java-writer"}
