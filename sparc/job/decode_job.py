@@ -696,6 +696,35 @@ def _sample_footer(spark: SparkSession, streams_dir: str) -> dict:
     cached = _FOOTER_CACHE.get(streams_dir)
     if cached is not None:
         return cached
+    # listable store: read one manifest part directly (planner-scale
+    # metadata — on the files sink the manifest holds ONLY footer rows),
+    # skipping a whole Spark job on the first decode of a directory
+    import os as _os
+
+    if _os.path.isdir(streams_dir):
+        import pyarrow.parquet as _pq
+
+        for p in _manifest_paths(streams_dir):
+            try:
+                pf = _pq.ParquetFile(p)
+                for rg in range(pf.num_row_groups):
+                    # probe the tiny "kind" column first so a parquet-sink
+                    # manifest's stream blobs are only fetched for the one
+                    # row group that holds a FOOTER row
+                    kinds = pf.read_row_group(rg, columns=["kind"]).column(
+                        "kind"
+                    ).to_pylist()
+                    if "FOOTER" not in kinds:
+                        continue
+                    blob = pf.read_row_group(rg, columns=["data"]).column(
+                        "data"
+                    )[kinds.index("FOOTER")].as_py()
+                    footer = json.loads(bytes(blob).decode())
+                    _FOOTER_CACHE[streams_dir] = footer
+                    return footer
+            except Exception:
+                continue
+        raise ValueError(f"no FOOTER rows in {streams_dir}")
     row = (
         read_streams(spark, streams_dir)
         .filter(F.col("kind") == "FOOTER")
