@@ -355,15 +355,22 @@ def run_decode(
         n_shards = max(1, -(-target // max(len(paths), 1)))
         units = [(p, s, n_shards) for p in paths for s in range(n_shards)]
         n_parts = max(1, min(target, len(units)))
-        rr = [u for j in range(n_parts) for u in units[j::n_parts]]
         fn = _decode_paths_factory(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
             streams_dir=streams_dir, stripe_predicate=pred, map_fn=map_fn,
         )
+        # JVM-only unit distribution: a LocalRelation + explicit
+        # round-robin repartition.  The old parallelize() route made the
+        # unit list a *Python* RDD, so every decode ran a hidden extra
+        # Python stage (one deserializer task per partition through a
+        # second worker pool) before the scan — measured ~0.2 core-s and
+        # ~10 ms of wall PER TASK of pure orchestration on this host,
+        # about half the whole job's fixed cost at bench scale.  An
+        # explicit numPartitions repartition is exempt from AQE
+        # coalescing, so the scan keeps exactly n_parts tasks.
         paths_df = spark.createDataFrame(
-            spark.sparkContext.parallelize(rr, n_parts),
-            "path string, shard int, n_shards int",
-        )
+            units, "path string, shard int, n_shards int"
+        ).repartition(n_parts)
         out = paths_df.mapInArrow(fn, schema=schema_ddl)
     elif sample.get("stripe_file"):
         # files sink on a non-listable store: manifest scan + round-robin
