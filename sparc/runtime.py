@@ -62,6 +62,44 @@ def init_worker() -> None:
         _pa.set_io_thread_count(2)  # overlap read-ahead with decode
     except Exception:
         pass
+    # Two per-TASK fixed costs in the pyspark worker protocol, measured
+    # ~0.2 user-core-s per task on this host (more than an entire
+    # stripe's decode kernel time) with a worker-module cProfile:
+    #
+    # 1. worker_util.setup_spark_files calls importlib.invalidate_caches()
+    #    on EVERY task; each zipimporter on sys.path responds by
+    #    re-reading its whole ZIP central directory (pyspark.zip is
+    #    ~8500 entries — zipimport._read_directory dominated the
+    #    profile).  The Spark-install zips are immutable for the life of
+    #    the process, so re-scanning them is pure waste; runtime-added
+    #    py-files live under the spark files dir, NOT under SPARK_HOME,
+    #    and keep full invalidation semantics.
+    # 2. pyspark.daemon's reuse loop runs a full gc.collect() between
+    #    tasks (~33 ms against the imported module heap).  gc.freeze()
+    #    moves the import-time heap to the permanent generation so those
+    #    collections only scan task-local garbage.
+    #
+    # Both apply from each worker's second task onward (init_worker runs
+    # inside the first task, after its setup_spark_files already ran).
+    try:
+        import gc
+        import zipimport
+
+        spark_home = os.environ.get("SPARK_HOME")
+        if spark_home and not hasattr(zipimport.zipimporter, "_sparc_inval"):
+            orig = zipimport.zipimporter.invalidate_caches
+
+            def _inval(self, _orig=orig, _home=os.path.abspath(spark_home)):
+                archive = getattr(self, "archive", "")
+                if os.path.abspath(archive).startswith(_home):
+                    return
+                _orig(self)
+
+            zipimport.zipimporter.invalidate_caches = _inval
+            zipimport.zipimporter._sparc_inval = True
+        gc.freeze()
+    except Exception:
+        pass
     _worker_tuned = True
 
 
