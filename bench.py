@@ -147,6 +147,66 @@ def gen_pages_parquet(spark, n_rows: int, path: str, chunk: int = 20_000) -> Non
     ).parquet(path)
 
 
+def _pool_decode_unit(args):
+    """One files-sink scan unit (manifest, shard), the exact work a Spark
+    decode task does — manifest read, footer parse, byte-range stream
+    slices, decode_stripe, octet aggregate — minus Spark.  Used by the
+    engine-ceiling probe."""
+    path, shard, n_shards, streams_dir = args
+    import json as _json
+    import mmap as mmap_mod
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from sparc import runtime
+    from sparc.engine import stripe as stripe_mod
+
+    runtime.init_worker()
+    t = _pq.read_table(path)
+    total = rows = 0
+    for i in range(shard, t.num_rows, n_shards):
+        footer = _json.loads(t["data"][i].as_py().decode())
+        spath = footer["stripe_file"]
+        if not os.path.isabs(spath):
+            spath = os.path.join(streams_dir, spath)
+        with open(spath, "rb") as f:
+            mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+        mv = memoryview(mm)
+        streams = {
+            (cname, kind): mv[off : off + ln]
+            for cname, kind, off, ln in footer["stream_spans"]
+            if kind != "BLOOM_FILTER_UTF8"
+        }
+        out = stripe_mod.decode_stripe(streams, footer)
+        for name in ("url", "html", "text", "lang"):
+            col = out[name]
+            if _pa.types.is_string(col.type) or _pa.types.is_large_string(col.type):
+                col = _pc.cast(col, _pa.large_binary())
+            total += _pc.sum(_pc.binary_length(col)).as_py() or 0
+        rows += out.num_rows
+    return total, rows
+
+
+def _pool_decode_walls(streams_dir: str, nproc: int, rounds: int = 3) -> list[float]:
+    import multiprocessing as mp
+
+    from sparc.job import decode_job
+
+    paths = decode_job._manifest_paths(streams_dir)
+    n_shards = max(1, -(-nproc // max(len(paths), 1)))
+    units = [(p, s, n_shards, streams_dir) for p in paths for s in range(n_shards)]
+    walls = []
+    with mp.Pool(nproc) as pool:
+        pool.map(_pool_decode_unit, units)  # warm (imports, page cache)
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            pool.map(_pool_decode_unit, units)
+            walls.append(time.perf_counter() - t0)
+    return walls
+
+
 def _octets_map(t):
     """Per-stripe compute-near-data aggregate for the decode A/B: total
     octet length over every decoded column (same forcing function as the
@@ -443,9 +503,29 @@ def main() -> None:
         assert got["r"] == n_rows
     timings["decode_pages_neardata"] = round(nd_walls[-1], 3)
     extras["decode_neardata_gbps"] = round(raw / nd_walls[-1] / 1e9, 4)
-    extras["decode_vs_reference_wall"] = round(
+    # recorded at this SF; the headline decode_vs_reference_wall is set
+    # from the XL A/B below when it runs (identical protocol, 3x input),
+    # because at ~1 GiB BOTH walls are dominated by per-job fixed cost —
+    # a no-op 32-task Python job floors at ~0.5 s on this host, ~90% of
+    # the whole decode wall — and the ratio of two floors measures the
+    # task launchers, not the engines
+    extras["decode_vs_reference_wall_sf"] = round(
         nd_walls[-1] / ref_read_walls[-1], 4
     )
+    extras["decode_vs_reference_wall"] = extras["decode_vs_reference_wall_sf"]
+
+    # ---- engine decode ceiling: identical per-stripe work, no Spark -------
+    # The same scan units the Spark decode runs, executed by a plain
+    # process pool: separates the engine's decode throughput from Spark's
+    # Python-lane job fixed costs.  This is the number comparable to the
+    # reference reader's 32 JVM threads (which pay no such per-job tax).
+    try:
+        pool_walls = _pool_decode_walls(inp_dir, CPUS, rounds=3)
+        extras["decode_pool_gbps"] = round(raw / min(pool_walls) / 1e9, 4)
+        extras["decode_pool_walls"] = [round(x, 3) for x in pool_walls]
+    except Exception as exc:  # never fail the bench on the probe
+        extras["decode_pool_gbps"] = None
+        extras["decode_pool_err"] = str(exc)[:200]
 
     # ---- XL decode A/B (3x the rows) --------------------------------------
     # At sf0.1 the whole decode is <1 s, so the comparison is dominated by
@@ -506,6 +586,10 @@ def main() -> None:
         extras["decode_vs_reference_wall_xl"] = round(
             min(xl_nd_walls[1:]) / min(xl_ref_walls[1:]), 4
         )
+        # headline ratio = the fixed-cost-amortized comparison (see the
+        # sf-scale comment above); the sf-scale ratio stays recorded as
+        # decode_vs_reference_wall_sf
+        extras["decode_vs_reference_wall"] = extras["decode_vs_reference_wall_xl"]
 
         # ---- XL encode A/B (same 3x input) --------------------------------
         # The 1 GiB headline charges ~1 job's worth of fixed CPU (task
@@ -596,6 +680,28 @@ def main() -> None:
     extras["encode_gbps_input_best"] = round(raw / min(inp_walls) / 1e9, 4)
     extras["encode_gbps_pyscan_best"] = round(raw / min(pys_walls) / 1e9, 4)
 
+    # headline strategy's reference ratios: prefer the XL A/B when it ran
+    # (same rationale as decode_vs_reference_wall — at ~1 GiB both sides'
+    # walls carry one job's fixed cost over a single GiB; the XL run
+    # amortizes it on both sides identically).  The sf-scale ratios stay
+    # recorded under *_sf.
+    _hl_input = extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
+    _hl_wall_sf = (
+        extras["input_vs_reference_wall"] if _hl_input
+        else extras["pyscan_vs_reference_wall"]
+    )
+    _hl_cpu_sf = (
+        extras["input_vs_reference_cpu"] if _hl_input
+        else extras["pyscan_vs_reference_cpu"]
+    )
+    _hl_wall = extras.get(
+        "input_vs_reference_wall_xl" if _hl_input else "pyscan_vs_reference_wall_xl",
+        _hl_wall_sf,
+    )
+    _hl_cpu = extras.get(
+        "input_vs_reference_cpu_xl" if _hl_input else "pyscan_vs_reference_cpu_xl",
+        _hl_cpu_sf,
+    )
     result = (
         {
                 "metric": "pages_encode_gbps",
@@ -613,17 +719,13 @@ def main() -> None:
                 ),
                 # the headline strategy's own wall/CPU ratio vs the
                 # reference writer, top-level so artifact readers don't
-                # have to re-derive which *_vs_reference_* applies
-                "headline_vs_reference_wall": (
-                    extras["input_vs_reference_wall"]
-                    if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
-                    else extras["pyscan_vs_reference_wall"]
-                ),
-                "headline_vs_reference_cpu": (
-                    extras["input_vs_reference_cpu"]
-                    if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
-                    else extras["pyscan_vs_reference_cpu"]
-                ),
+                # have to re-derive which *_vs_reference_* applies —
+                # fixed-cost-amortized (XL) when the XL A/B ran, with the
+                # sf-scale ratios kept under *_sf
+                "headline_vs_reference_wall": _hl_wall,
+                "headline_vs_reference_cpu": _hl_cpu,
+                "headline_vs_reference_wall_sf": _hl_wall_sf,
+                "headline_vs_reference_cpu_sf": _hl_cpu_sf,
                 "queries": timings,
                 "sf": sf,
                 **extras,

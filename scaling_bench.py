@@ -162,6 +162,13 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         ).parquet(staged_path)
 
     def floor_fn(batches):
+        # same per-task runtime tuning as the real encode closures (the
+        # zipimport/gc fixed-cost patches live there): without it the
+        # floor pays per-task protocol taxes the engine path doesn't,
+        # overstating the plumbing share
+        from sparc import runtime as _rt
+
+        _rt.init_worker()
         total = 0
         for b in batches:
             total += b.num_rows
