@@ -189,6 +189,44 @@ def _pool_decode_unit(args):
     return total, rows
 
 
+_POOL_ENC_CACHE: dict = {}
+
+
+def _pool_encode_unit(args):
+    """Encode one deterministic pages stripe with the real stripe encoder
+    (generation cached per worker and untimed after the warm round)."""
+    off, rows = args
+    from sparc import runtime
+    from sparc.engine import stripe as stripe_mod
+    from sparc.fixtures import pages as pages_mod
+
+    runtime.init_worker()
+    key = (off, rows)
+    t = _POOL_ENC_CACHE.get(key)
+    if t is None:
+        t = pages_mod.generate(rows, seed=42, row_offset=off)
+        _POOL_ENC_CACHE[key] = t
+    streams, _ = stripe_mod.encode_stripe(t, codec="zstd")
+    return sum(len(v) for v in streams.values())
+
+
+def _pool_encode_walls(n_rows: int, nproc: int, rounds: int = 3) -> list[float]:
+    """Walls for a full pool encode of the pages fixture — the engine's
+    encode ceiling with zero Spark involvement."""
+    import multiprocessing as mp
+
+    per = max(n_rows // nproc, 1)
+    units = [(off, min(per, n_rows - off)) for off in range(0, n_rows, per)]
+    walls = []
+    with mp.Pool(nproc) as pool:
+        pool.map(_pool_encode_unit, units)  # warm: generate + fault pages
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            pool.map(_pool_encode_unit, units)
+            walls.append(time.perf_counter() - t0)
+    return walls
+
+
 def _pool_decode_walls(streams_dir: str, nproc: int, rounds: int = 3) -> list[float]:
     import multiprocessing as mp
 
@@ -526,6 +564,16 @@ def main() -> None:
     except Exception as exc:  # never fail the bench on the probe
         extras["decode_pool_gbps"] = None
         extras["decode_pool_err"] = str(exc)[:200]
+    # symmetric encode ceiling: the real stripe encoder in a plain
+    # 32-process pool over the same fixture rows (generation cached and
+    # untimed) — comparable to the reference writer's in-JVM threads
+    try:
+        enc_pool_walls = _pool_encode_walls(n_rows, CPUS, rounds=3)
+        extras["encode_pool_gbps"] = round(raw / min(enc_pool_walls) / 1e9, 4)
+        extras["encode_pool_walls"] = [round(x, 3) for x in enc_pool_walls]
+    except Exception as exc:
+        extras["encode_pool_gbps"] = None
+        extras["encode_pool_err"] = str(exc)[:200]
 
     # ---- XL decode A/B (3x the rows) --------------------------------------
     # At sf0.1 the whole decode is <1 s, so the comparison is dominated by
