@@ -35,16 +35,19 @@ CACHE = os.environ.get("SPARC_BENCH_CACHE", "/tmp/sparc_bench")
 ROWS_OVERRIDE = os.environ.get("SPARC_BENCH_ROWS")
 
 
-def proc_tree_cpu_seconds() -> float:
-    """Total CPU seconds (utime+stime, plus reaped children) of this
-    process and every live descendant — the bench driver, the Spark JVM,
-    and all Python workers.  Reading /proc makes the accounting identical
-    for both systems under test (our Python-worker encode vs the JVM-side
-    ORC writer), which wall-clock alone is not on a host whose clock
-    swings 2-4x between windows."""
+def proc_tree_cpu_split() -> tuple[float, float]:
+    """(user, system) CPU seconds (incl. reaped children) of this process
+    and every live descendant — the bench driver, the Spark JVM, and all
+    Python workers.  Reading /proc makes the accounting identical for
+    both systems under test (our Python-worker encode vs the JVM-side ORC
+    writer), which wall-clock alone is not on a host whose clock swings
+    2-4x between windows.  The split matters on THIS host: fault storms
+    inflate system time ~10-30x while user time stays within ~3x, so the
+    user-CPU ratio is the window-stable engine comparison."""
     clk = os.sysconf("SC_CLK_TCK")
     ppid: dict[int, int] = {}
-    times: dict[int, float] = {}
+    utimes: dict[int, float] = {}
+    stimes: dict[int, float] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -55,19 +58,24 @@ def proc_tree_cpu_seconds() -> float:
             continue
         pid = int(d)
         ppid[pid] = int(parts[1])
-        times[pid] = (
-            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
-        ) / clk
+        utimes[pid] = (int(parts[11]) + int(parts[13])) / clk
+        stimes[pid] = (int(parts[12]) + int(parts[14])) / clk
     kids: dict[int, list[int]] = {}
     for pid, pp in ppid.items():
         kids.setdefault(pp, []).append(pid)
-    total = 0.0
+    user = syst = 0.0
     stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        total += times.get(p, 0.0)
+        user += utimes.get(p, 0.0)
+        syst += stimes.get(p, 0.0)
         stack.extend(kids.get(p, []))
-    return total
+    return user, syst
+
+
+def proc_tree_cpu_seconds() -> float:
+    u, s = proc_tree_cpu_split()
+    return u + s
 
 
 def _median(xs: list[float]) -> float:
@@ -393,23 +401,24 @@ def main() -> None:
         return ref_dir
 
     def timed(fn, tag):
-        c0 = proc_tree_cpu_seconds()
+        u0, s0 = proc_tree_cpu_split()
         t0 = time.perf_counter()
         path = fn(tag)
         wall = time.perf_counter() - t0
-        cpu = proc_tree_cpu_seconds() - c0
-        return wall, cpu, path
+        u1, s1 = proc_tree_cpu_split()
+        return wall, (u1 - u0) + (s1 - s0), u1 - u0, path
 
     # headline strategy is "input" (shuffle-free, the 100 TB shape), so
     # its cold run goes first — true process-cold, nothing warmed by a
     # prior system
-    cold_inp, _, _ = timed(run_input, "warmup")
-    cold_pys, _, _ = timed(run_pyscan, "warmup")
-    cold_ours, _, _ = timed(run_ours, "warmup")
-    cold_ref, _, _ = timed(run_ref, "warmup")
+    cold_inp, _, _, _ = timed(run_input, "warmup")
+    cold_pys, _, _, _ = timed(run_pyscan, "warmup")
+    cold_ours, _, _, _ = timed(run_ours, "warmup")
+    cold_ref, _, _, _ = timed(run_ref, "warmup")
     ours_walls, ours_cpus, ref_walls, ref_cpus = [], [], [], []
     inp_walls, inp_cpus = [], []
     pys_walls, pys_cpus = [], []
+    inp_users, pys_users, ours_users, ref_users = [], [], [], []
     max_ab = int(os.environ.get("SPARC_BENCH_AB_MAX", str(n_ab + 3)))
     budget_s = float(os.environ.get("SPARC_BENCH_AB_BUDGET_S", "600"))
     ab_t0 = time.perf_counter()
@@ -423,18 +432,22 @@ def main() -> None:
         and time.perf_counter() - ab_t0 < budget_s
         and max(inp_walls + ours_walls) / max(min(inp_walls + ours_walls), 1e-9) > 2.0
     ):
-        w, c, inp_dir = timed(run_input, f"ab{i}")
+        w, c, u, inp_dir = timed(run_input, f"ab{i}")
         inp_walls.append(w)
         inp_cpus.append(c)
-        w, c, pys_dir = timed(run_pyscan, f"ab{i}")
+        inp_users.append(u)
+        w, c, u, pys_dir = timed(run_pyscan, f"ab{i}")
         pys_walls.append(w)
         pys_cpus.append(c)
-        w, c, out_dir = timed(run_ours, f"ab{i}")
+        pys_users.append(u)
+        w, c, u, out_dir = timed(run_ours, f"ab{i}")
         ours_walls.append(w)
         ours_cpus.append(c)
-        w, c, ref_dir = timed(run_ref, f"ab{i}")
+        ours_users.append(u)
+        w, c, u, ref_dir = timed(run_ref, f"ab{i}")
         ref_walls.append(w)
         ref_cpus.append(c)
+        ref_users.append(u)
         i += 1
 
     enc_wall, ref_wall = _median(ours_walls), _median(ref_walls)
@@ -451,6 +464,14 @@ def main() -> None:
     gib = raw / (1 << 30)
     extras["ours_core_s_per_gib"] = round(enc_cpu / gib, 2)
     extras["ref_core_s_per_gib"] = round(ref_cpu / gib, 2)
+    # user-CPU split: fault storms on this host inflate system time
+    # ~10-30x but user time only ~3x, so the user ratio is the
+    # window-stable engine comparison (see BENCH/BASELINE.md)
+    extras["ours_user_core_s_per_gib"] = round(_median(ours_users) / gib, 2)
+    extras["ref_user_core_s_per_gib"] = round(_median(ref_users) / gib, 2)
+    extras["encode_vs_reference_user_cpu"] = round(
+        _median(ours_users) / max(_median(ref_users), 1e-9), 4
+    )
     extras["encode_vs_reference_wall"] = round(enc_wall / ref_wall, 4)
     extras["encode_vs_reference_cpu"] = round(enc_cpu / max(ref_cpu, 1e-9), 4)
     inp_wall, inp_cpu = _median(inp_walls), _median(inp_cpus)
@@ -460,6 +481,10 @@ def main() -> None:
     extras["encode_gbps_input_cold"] = round(raw / cold_inp / 1e9, 4)
     extras["encode_gbps_input"] = round(raw / inp_wall / 1e9, 4)
     extras["input_core_s_per_gib"] = round(inp_cpu / gib, 2)
+    extras["input_user_core_s_per_gib"] = round(_median(inp_users) / gib, 2)
+    extras["input_vs_reference_user_cpu"] = round(
+        _median(inp_users) / max(_median(ref_users), 1e-9), 4
+    )
     extras["input_vs_reference_wall"] = round(inp_wall / ref_wall, 4)
     extras["input_vs_reference_cpu"] = round(inp_cpu / max(ref_cpu, 1e-9), 4)
     pys_wall, pys_cpu = _median(pys_walls), _median(pys_cpus)
@@ -468,6 +493,10 @@ def main() -> None:
     extras["pyscan_walls"] = [round(x, 3) for x in pys_walls]
     extras["encode_gbps_pyscan"] = round(raw / pys_wall / 1e9, 4)
     extras["pyscan_core_s_per_gib"] = round(pys_cpu / gib, 2)
+    extras["pyscan_user_core_s_per_gib"] = round(_median(pys_users) / gib, 2)
+    extras["pyscan_vs_reference_user_cpu"] = round(
+        _median(pys_users) / max(_median(ref_users), 1e-9), 4
+    )
     extras["pyscan_vs_reference_wall"] = round(pys_wall / ref_wall, 4)
     extras["pyscan_vs_reference_cpu"] = round(pys_cpu / max(ref_cpu, 1e-9), 4)
     ours_bytes = dir_bytes(out_dir)
@@ -648,10 +677,11 @@ def main() -> None:
         xl_gib = xl_raw / (1 << 30)
         xle_walls, xle_cpus, xlr_walls, xlr_cpus = [], [], [], []
         xlp_walls, xlp_cpus = [], []
+        xle_users, xlp_users, xlr_users = [], [], []
         for j in range(3):  # first pair doubles as warmup
             inp_dir_xl = os.path.join(CACHE, f"streams_in_xl_{xl_rows}")
             shutil.rmtree(inp_dir_xl, ignore_errors=True)
-            c0 = proc_tree_cpu_seconds()
+            u0, s0 = proc_tree_cpu_split()
             t0 = time.perf_counter()
             encode_job.run_encode(
                 xl_df, inp_dir_xl, strategy="input", sink="files",
@@ -659,10 +689,12 @@ def main() -> None:
                 fingerprint=f"bench-xl-{xl_rows}", resume=False,
             )
             xle_walls.append(time.perf_counter() - t0)
-            xle_cpus.append(proc_tree_cpu_seconds() - c0)
+            u1, s1 = proc_tree_cpu_split()
+            xle_cpus.append((u1 - u0) + (s1 - s0))
+            xle_users.append(u1 - u0)
             pys_dir_xl = os.path.join(CACHE, f"streams_py_xl_{xl_rows}")
             shutil.rmtree(pys_dir_xl, ignore_errors=True)
-            c0 = proc_tree_cpu_seconds()
+            u0, s0 = proc_tree_cpu_split()
             t0 = time.perf_counter()
             encode_job.run_encode_paths(
                 spark, xl_pages, pys_dir_xl,
@@ -670,14 +702,18 @@ def main() -> None:
                 fingerprint=f"bench-xlp-{xl_rows}", resume=False,
             )
             xlp_walls.append(time.perf_counter() - t0)
-            xlp_cpus.append(proc_tree_cpu_seconds() - c0)
+            u1, s1 = proc_tree_cpu_split()
+            xlp_cpus.append((u1 - u0) + (s1 - s0))
+            xlp_users.append(u1 - u0)
             ref_dir_xl = os.path.join(CACHE, f"ref_orc_xl_{xl_rows}")
             shutil.rmtree(ref_dir_xl, ignore_errors=True)
-            c0 = proc_tree_cpu_seconds()
+            u0, s0 = proc_tree_cpu_split()
             t0 = time.perf_counter()
             xl_df.write.option("compression", "zstd").orc(ref_dir_xl)
             xlr_walls.append(time.perf_counter() - t0)
-            xlr_cpus.append(proc_tree_cpu_seconds() - c0)
+            u1, s1 = proc_tree_cpu_split()
+            xlr_cpus.append((u1 - u0) + (s1 - s0))
+            xlr_users.append(u1 - u0)
         xle_w, xlr_w = _median(xle_walls[1:]), _median(xlr_walls[1:])
         xle_c, xlr_c = _median(xle_cpus[1:]), _median(xlr_cpus[1:])
         xlp_w, xlp_c = _median(xlp_walls[1:]), _median(xlp_cpus[1:])
@@ -692,8 +728,23 @@ def main() -> None:
         extras["ref_core_s_per_gib_xl"] = round(xlr_c / xl_gib, 2)
         extras["input_vs_reference_wall_xl"] = round(xle_w / xlr_w, 4)
         extras["input_vs_reference_cpu_xl"] = round(xle_c / max(xlr_c, 1e-9), 4)
+        extras["input_vs_reference_user_cpu_xl"] = round(
+            _median(xle_users[1:]) / max(_median(xlr_users[1:]), 1e-9), 4
+        )
+        extras["input_user_core_s_per_gib_xl"] = round(
+            _median(xle_users[1:]) / xl_gib, 2
+        )
+        extras["ref_user_core_s_per_gib_xl"] = round(
+            _median(xlr_users[1:]) / xl_gib, 2
+        )
         extras["pyscan_vs_reference_wall_xl"] = round(xlp_w / xlr_w, 4)
         extras["pyscan_vs_reference_cpu_xl"] = round(xlp_c / max(xlr_c, 1e-9), 4)
+        extras["pyscan_vs_reference_user_cpu_xl"] = round(
+            _median(xlp_users[1:]) / max(_median(xlr_users[1:]), 1e-9), 4
+        )
+        extras["pyscan_user_core_s_per_gib_xl"] = round(
+            _median(xlp_users[1:]) / xl_gib, 2
+        )
         extras["input_bytes_per_row_xl"] = round(dir_bytes(inp_dir_xl) / xl_rows, 2)
         extras["ref_bytes_per_row_xl"] = round(dir_bytes(ref_dir_xl) / xl_rows, 2)
         extras["size_vs_reference_xl"] = round(

@@ -359,18 +359,26 @@ def run_decode(
             columns, verify_crc, predicate=pred if rowgroup_prune else None,
             streams_dir=streams_dir, stripe_predicate=pred, map_fn=map_fn,
         )
-        # JVM-only unit distribution: a LocalRelation + explicit
-        # round-robin repartition.  The old parallelize() route made the
-        # unit list a *Python* RDD, so every decode ran a hidden extra
-        # Python stage (one deserializer task per partition through a
-        # second worker pool) before the scan — measured ~0.2 core-s and
-        # ~10 ms of wall PER TASK of pure orchestration on this host,
-        # about half the whole job's fixed cost at bench scale.  An
-        # explicit numPartitions repartition is exempt from AQE
-        # coalescing, so the scan keeps exactly n_parts tasks.
+        # JVM-only unit distribution via a LocalRelation.  The old
+        # parallelize() route made the unit list a *Python* RDD, so every
+        # decode ran a hidden extra Python stage (one deserializer task
+        # per partition through a second worker pool) before the scan —
+        # measured ~0.2 core-s and ~10 ms of wall PER TASK of pure
+        # orchestration on this host, about half the whole job's fixed
+        # cost at bench scale.  A LocalRelation scan parallelizes to
+        # defaultParallelism with near-even contiguous slices and NO
+        # exchange, keeping the decode a single stage; the interleaved
+        # ordering reproduces the old round-robin unit placement under
+        # contiguous slicing (manifest diversity per task, shards of one
+        # manifest spread across tasks).
+        rr = [u for j in range(n_parts) for u in units[j::n_parts]]
         paths_df = spark.createDataFrame(
-            units, "path string, shard int, n_shards int"
-        ).repartition(n_parts)
+            rr, "path string, shard int, n_shards int"
+        )
+        if n_partitions and n_partitions != spark.sparkContext.defaultParallelism:
+            # explicit caller override: worth one (tiny, metadata-only)
+            # round-robin exchange to honor the requested task count
+            paths_df = paths_df.repartition(n_parts)
         out = paths_df.mapInArrow(fn, schema=schema_ddl)
     elif sample.get("stripe_file"):
         # files sink on a non-listable store: manifest scan + round-robin
