@@ -695,8 +695,12 @@ def run_encode_units(
     # one count() over the (tiny, one-row-per-unit) plan; also sizes the
     # task fan-out.  The unit plan itself never lands on the driver.
     n_units_todo = units_df.count()
+    # 2x cores: enough task granularity to hide stragglers behind the
+    # round-robin balance, without doubling the per-Python-task fixed
+    # cost again (measured ~0.2 core-s/task JVM+protocol even after the
+    # worker tuning; 4x cores was ~6 extra core-s per job at 32 lanes)
     parts = n_partitions or max(
-        1, min(n_units_todo, spark.sparkContext.defaultParallelism * 4)
+        1, min(n_units_todo, spark.sparkContext.defaultParallelism * 2)
     )
     # round-robin, NOT hash-on-idx: stripe ids derive from the unit index
     # (not the partition), so co-location is irrelevant — and hashing ~N
