@@ -46,10 +46,17 @@ while true; do
       touch "$LOCK"
       if [ "$NEXT" = bench ]; then
         echo "healthy window $WIN - running bench $(date +%T)" >> "$LOG"
+        rm -f BENCH_RESULT.json
         timeout 2400 python bench.py > /tmp/bench_healthy.out 2>&1
         rc=$?
         echo "bench rc=$rc $(date +%T)" >> "$LOG"
-        grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
+        # bench.py writes the full record to BENCH_RESULT.json (stdout can
+        # be truncated by wrappers); fall back to the stdout grep
+        if [ -s BENCH_RESULT.json ]; then
+          cp BENCH_RESULT.json /tmp/bench_healthy.json
+        else
+          grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
+        fi
         if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
           cp /tmp/bench_healthy.json "BENCH/bench_r4_window${WIN}.json"
           echo "bench recorded window${WIN} $(date +%T)" >> "$LOG"
