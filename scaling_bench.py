@@ -319,7 +319,8 @@ def main() -> None:
         }
         results.append(rec)
         print(json.dumps(rec))
-    with open("BENCH/scaling.json", "w") as f:
+    out_path = os.environ.get("SPARC_SCALING_OUT", "BENCH/scaling.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
 
 
