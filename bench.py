@@ -197,24 +197,19 @@ def _pool_decode_unit(args):
     return total, rows
 
 
-_POOL_ENC_CACHE: dict = {}
+_POOL_ENC_TABLES: list = []
 
 
-def _pool_encode_unit(args):
-    """Encode one deterministic pages stripe with the real stripe encoder
-    (generation cached per worker and untimed after the warm round)."""
-    off, rows = args
+def _pool_encode_unit(i: int):
+    """Encode one pre-generated pages stripe with the real stripe encoder.
+    Tables live in the parent before the fork (COW inheritance), so a
+    dynamically-scheduled worker never pays generation inside the timed
+    wall regardless of which units it grabs."""
     from sparc import runtime
     from sparc.engine import stripe as stripe_mod
-    from sparc.fixtures import pages as pages_mod
 
     runtime.init_worker()
-    key = (off, rows)
-    t = _POOL_ENC_CACHE.get(key)
-    if t is None:
-        t = pages_mod.generate(rows, seed=42, row_offset=off)
-        _POOL_ENC_CACHE[key] = t
-    streams, _ = stripe_mod.encode_stripe(t, codec="zstd")
+    streams, _ = stripe_mod.encode_stripe(_POOL_ENC_TABLES[i], codec="zstd")
     return sum(len(v) for v in streams.values())
 
 
@@ -223,15 +218,25 @@ def _pool_encode_walls(n_rows: int, nproc: int, rounds: int = 3) -> list[float]:
     encode ceiling with zero Spark involvement."""
     import multiprocessing as mp
 
+    from sparc.fixtures import pages as pages_mod
+
     per = max(n_rows // nproc, 1)
-    units = [(off, min(per, n_rows - off)) for off in range(0, n_rows, per)]
+    _POOL_ENC_TABLES.clear()
+    for off in range(0, n_rows, per):
+        _POOL_ENC_TABLES.append(
+            pages_mod.generate(min(per, n_rows - off), seed=42, row_offset=off)
+        )
+    units = list(range(len(_POOL_ENC_TABLES)))
     walls = []
-    with mp.Pool(nproc) as pool:
-        pool.map(_pool_encode_unit, units)  # warm: generate + fault pages
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            pool.map(_pool_encode_unit, units)
-            walls.append(time.perf_counter() - t0)
+    try:
+        with mp.Pool(nproc) as pool:
+            pool.map(_pool_encode_unit, units)  # warm: imports + fault pages
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                pool.map(_pool_encode_unit, units)
+                walls.append(time.perf_counter() - t0)
+    finally:
+        _POOL_ENC_TABLES.clear()
     return walls
 
 
