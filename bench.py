@@ -789,7 +789,19 @@ def main() -> None:
     # walls carry one job's fixed cost over a single GiB; the XL run
     # amortizes it on both sides identically).  The sf-scale ratios stay
     # recorded under *_sf.
-    _hl_input = extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
+    # headline strategy choice: by XL throughput when the XL A/B ran
+    # (the scale-representative axis — at sf-scale both strategies'
+    # walls are mostly fixed cost, and a transient event in one XL leg
+    # can invert the sf-scale ranking, as window-3's record shows).  A
+    # leg with a negative user-CPU delta (its workers died mid-sample —
+    # CPU accounting invalid) is never chosen.
+    _inp_score = extras.get("encode_gbps_input_xl", extras["encode_gbps_input"])
+    _pys_score = extras.get("encode_gbps_pyscan_xl", extras["encode_gbps_pyscan"])
+    if extras.get("input_vs_reference_user_cpu_xl", 0) < 0:
+        _inp_score = -1.0
+    if extras.get("pyscan_vs_reference_user_cpu_xl", 0) < 0:
+        _pys_score = -1.0
+    _hl_input = _inp_score >= _pys_score
     _hl_wall_sf = (
         extras["input_vs_reference_wall"] if _hl_input
         else extras["pyscan_vs_reference_wall"]
@@ -809,18 +821,18 @@ def main() -> None:
     result = (
         {
                 "metric": "pages_encode_gbps",
-                # headline = the faster of the two shuffle-free strategies
+                # headline = the better of the two shuffle-free strategies
                 # ("input": JVM scan feeds workers via Arrow; "pyscan":
                 # workers read row-group units directly, JVM schedules
                 # only) — both are configurations a 100 TB run would use
-                # (the hash-shuffle strategy stays reported alongside)
-                "value": max(extras["encode_gbps_input"], extras["encode_gbps_pyscan"]),
-                "unit": "GB/s",
-                "headline_strategy": (
-                    "input"
-                    if extras["encode_gbps_input"] >= extras["encode_gbps_pyscan"]
-                    else "pyscan"
+                # (the hash-shuffle strategy stays reported alongside);
+                # chosen by XL throughput, see _hl_input above
+                "value": (
+                    extras["encode_gbps_input"] if _hl_input
+                    else extras["encode_gbps_pyscan"]
                 ),
+                "unit": "GB/s",
+                "headline_strategy": "input" if _hl_input else "pyscan",
                 # the headline strategy's own wall/CPU ratio vs the
                 # reference writer, top-level so artifact readers don't
                 # have to re-derive which *_vs_reference_* applies —
