@@ -216,9 +216,52 @@ def read_orc(path: str) -> pa.Table:
             )
             col_chunks[i].append(arr)
 
+    if not stripes:
+        # zero-stripe file (Spark writes these for empty partitions):
+        # a typed empty table, as every reference reader returns
+        return pa.table(
+            {n: pa.nulls(0, _arrow_type_of(types, s))
+             for n, s in zip(names, subtypes)}
+        )
     cols = [pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
             for chunks in (col_chunks[i] for i in range(len(names)))]
     return pa.table(dict(zip(names, cols)))
+
+
+def _arrow_type_of(types: list[dict], idx: int) -> pa.DataType:
+    """Arrow type a decode of this ORC Type node produces (used only to
+    shape zero-stripe empties — the decode paths carry their own types)."""
+    t = types[idx]
+    tk = _TYPE_KINDS[t.get(1, [0])[0]]
+    subtypes = _packed_varints(t[2][0]) if 2 in t else []
+    names = [bytes(b).decode() for b in t.get(3, [])]
+    if tk in _INT_WIDTH:
+        at = _INT_WIDTH[tk]
+        if tk == "long" and _catalyst_type(t) == "timestamp_ntz":
+            return pa.timestamp("us")
+        return at
+    simple = {
+        "boolean": pa.bool_(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "char": pa.string(), "varchar": pa.string(),
+        "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_instant": pa.timestamp("us", tz="UTC"),
+    }
+    if tk in simple:
+        return simple[tk]
+    if tk == "decimal":
+        return pa.decimal128(t.get(5, [38])[0], t.get(6, [10])[0])
+    if tk == "struct":
+        return pa.struct(
+            [pa.field(n, _arrow_type_of(types, s)) for n, s in zip(names, subtypes)]
+        )
+    if tk == "list":
+        return pa.list_(_arrow_type_of(types, subtypes[0]))
+    if tk == "map":
+        return pa.map_(
+            _arrow_type_of(types, subtypes[0]), _arrow_type_of(types, subtypes[1])
+        )
+    raise NotImplementedError(f"empty-file type {tk}")
 
 
 def _decode_tree(
@@ -310,7 +353,32 @@ def _decode_tree(
     )
 
 
+def _catalyst_type(type_pb: dict) -> str | None:
+    """Spark's logical-type annotation on an ORC Type (attributes field,
+    ``repeated StringPair attributes = 7`` with key
+    ``spark.sql.catalyst.type``) — how Spark's writer marks e.g.
+    TIMESTAMP_NTZ columns it physically stores as plain longs of epoch
+    micros (verified: -1 reads back 1969-12-31T23:59:59.999999)."""
+    for pair in type_pb.get(7, []):
+        p = _parse_pb(pair)
+        if 1 in p and bytes(p[1][0]) == b"spark.sql.catalyst.type" and 2 in p:
+            return bytes(p[2][0]).decode()
+    return None
+
+
 def _decode_orc_column(
+    type_pb: dict, streams: dict[str, bytes], enc_pb: dict, n_rows: int,
+    writer_tz: str = "UTC",
+) -> pa.Array:
+    arr = _decode_orc_column_raw(type_pb, streams, enc_pb, n_rows, writer_tz)
+    # honor Spark's logical-type annotation the way spark.read.orc does:
+    # an attributed NTZ long column comes back as timestamp[us], not int64
+    if _catalyst_type(type_pb) == "timestamp_ntz" and arr.type == pa.int64():
+        arr = arr.view(pa.timestamp("us"))
+    return arr
+
+
+def _decode_orc_column_raw(
     type_pb: dict, streams: dict[str, bytes], enc_pb: dict, n_rows: int,
     writer_tz: str = "UTC",
 ) -> pa.Array:

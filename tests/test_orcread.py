@@ -363,3 +363,26 @@ def test_statistics_api_and_user_metadata(spark, tmp_path):
     writer.close()
     _, _, um_j = orcread.read_orc_statistics(jpath)
     assert um_j == {"who": b"java-writer"}
+
+
+def test_spark_timestamp_ntz_attribute(spark, tmp_path_factory):
+    """Spark stores TIMESTAMP_NTZ as ORC long + a
+    spark.sql.catalyst.type=timestamp_ntz Type attribute (epoch micros).
+    orcread honors the annotation like spark.read.orc does — including
+    on empty part files (zero stripes), which must come back as typed
+    empty tables, not crash."""
+    import datetime
+    import glob as _glob
+
+    d = str(tmp_path_factory.mktemp("ntz") / "o")
+    rows = [
+        (datetime.datetime(2020, 3, 15, 12, 30, 45, 123456),),
+        (datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),),
+    ]
+    spark.createDataFrame(rows, "ts timestamp_ntz").write.orc(d)
+    got = []
+    for f in sorted(_glob.glob(d + "/*.orc")):
+        t = orcread.read_orc(f)
+        assert t.schema.field(0).type == pa.timestamp("us")
+        got.extend(t["ts"].to_pylist())
+    assert sorted(got) == sorted(r[0] for r in rows)
