@@ -307,8 +307,12 @@ def sizes(path: str) -> dict:
 
 
 def _json_default(o):
-    if isinstance(o, bytes):
-        return o.hex()
+    if isinstance(o, (bytes, memoryview)):
+        b = bytes(o)
+        try:
+            return b.decode("utf-8")  # string stats bounds, readably
+        except UnicodeDecodeError:
+            return b.hex()
     return str(o)
 
 
