@@ -89,9 +89,13 @@ def init_worker() -> None:
         if spark_home and not hasattr(zipimport.zipimporter, "_sparc_inval"):
             orig = zipimport.zipimporter.invalidate_caches
 
-            def _inval(self, _orig=orig, _home=os.path.abspath(spark_home)):
+            _home = os.path.abspath(spark_home).rstrip(os.sep) + os.sep
+
+            def _inval(self, _orig=orig, _home=_home):
                 archive = getattr(self, "archive", "")
-                if os.path.abspath(archive).startswith(_home):
+                # prefix check on a separator boundary: /opt/spark-extra
+                # must NOT match a /opt/spark home
+                if (os.path.abspath(archive) + os.sep).startswith(_home):
                     return
                 _orig(self)
 

@@ -80,3 +80,16 @@ def test_init_worker_idempotent(patched_runtime):
     runtime._worker_tuned = False
     runtime.init_worker()  # second call must not re-wrap the wrapper
     assert zipimport.zipimporter.invalidate_caches is before
+
+
+def test_prefix_match_respects_path_boundary(patched_runtime, tmp_path):
+    # /.../spark_home-extra must NOT be treated as inside /.../spark_home
+    sibling = str(patched_runtime) + "-extra"
+    os.makedirs(sibling, exist_ok=True)
+    sib_zip = os.path.join(sibling, "lib.zip")
+    _make_zip(sib_zip, "mod_e.py")
+    imp = zipimport.zipimporter(sib_zip)
+    assert imp.find_spec("mod_e") is not None
+    _make_zip(sib_zip, "mod_f.py")
+    imp.invalidate_caches()
+    assert imp.find_spec("mod_f") is not None
