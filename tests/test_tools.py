@@ -101,3 +101,20 @@ def test_cli_subprocess(orc_path):
     )
     lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
     assert len(lines) == 2 and lines[0]["a"] == 0
+
+
+def test_tools_parquet_sink_dir(spark, tmp_path_factory):
+    from sparc.fixtures import pages
+    from sparc.job import encode_job
+
+    src = tmp_path_factory.mktemp("tools3") / "pages.parquet"
+    pages.write_parquet(str(src), 1000, seed=6)
+    out = str(tmp_path_factory.mktemp("tools3") / "streams")
+    encode_job.run_encode(
+        spark.read.parquet(str(src)), out, strategy="hash", n_stripes=2,
+        sink="parquet", resume=False,
+    )
+    m = tools.meta(out)
+    assert m["sink"] == "parquet" and m["rows"] == 1000
+    assert tools.scan(out)["rows"] == 1000
+    assert len(list(tools.data(out, 4))) == 4
