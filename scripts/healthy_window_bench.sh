@@ -43,6 +43,10 @@ while true; do
     c2=$(canary); c2=${c2:-999}
     echo "canary2 $c2 $(date +%T)" >> "$LOG"
     if python3 -c "exit(0 if float('$c2') < $THRESH else 1)"; then
+      # re-check the lock RIGHT before measuring: another workload may
+      # have taken it during the ~50 s canary sequence (this race put a
+      # concurrent pytest inside the window-4 capture)
+      if [ -e "$LOCK" ]; then continue; fi
       touch "$LOCK"
       if [ "$NEXT" = bench ]; then
         echo "healthy window $WIN - running bench $(date +%T)" >> "$LOG"
