@@ -69,12 +69,26 @@ while true; do
         fi
       else
         echo "healthy window - running scaling $(date +%T)" >> "$LOG"
-        timeout 3000 python scaling_bench.py > /tmp/scaling_healthy.out 2>&1
+        SPARC_SCALING_OUT=/tmp/scaling_capture.json \
+          timeout 3000 python scaling_bench.py > /tmp/scaling_healthy.out 2>&1
         src=$?
         echo "scaling rc=$src $(date +%T)" >> "$LOG"
-        if [ $src -eq 0 ] && [ -s BENCH/scaling.json ]; then
-          cp BENCH/scaling.json "BENCH/scaling_r4_window.json"
-          echo "scaling recorded $(date +%T)" >> "$LOG"
+        if [ $src -eq 0 ] && [ -s /tmp/scaling_capture.json ]; then
+          # promote to the official scaling.json ONLY when every pair's
+          # embedded canaries stayed clean — a storm tail on one leg
+          # (window-c: end canary 10.5) must not clobber a clean record
+          if python3 -c "
+import json, sys
+recs = json.load(open('/tmp/scaling_capture.json'))
+sys.exit(0 if all(max(r['host_canary_s']) < 8.0 for r in recs) else 1)"; then
+            cp /tmp/scaling_capture.json BENCH/scaling.json
+            cp /tmp/scaling_capture.json "BENCH/scaling_r4_window.json"
+            echo "scaling recorded (clean) $(date +%T)" >> "$LOG"
+          else
+            cp /tmp/scaling_capture.json \
+              "BENCH/scaling_r4_storm_$(date +%H%M).json"
+            echo "scaling kept as storm record $(date +%T)" >> "$LOG"
+          fi
           NEXT=bench
         fi
       fi
