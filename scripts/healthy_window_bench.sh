@@ -3,7 +3,7 @@
 # then land ONE record per window, alternating bench.py and
 # scaling_bench.py — each takes 10-25 min and this VM's healthy windows
 # can be shorter than both back-to-back.  Loops forever, numbering
-# successive window records (bench_r4_window2.json, window3, ...) so
+# successive window records (bench_r5_window2.json, window3, ...) so
 # reruns after code changes land fresh artifacts; holds
 # /tmp/sparc_bench.lock while measuring so other workloads can yield.
 set -u
@@ -43,11 +43,11 @@ while true; do
     c2=$(canary); c2=${c2:-999}
     echo "canary2 $c2 $(date +%T)" >> "$LOG"
     if python3 -c "exit(0 if float('$c2') < $THRESH else 1)"; then
-      # re-check the lock RIGHT before measuring: another workload may
-      # have taken it during the ~50 s canary sequence (this race put a
-      # concurrent pytest inside the window-4 capture)
-      if [ -e "$LOCK" ]; then continue; fi
-      touch "$LOCK"
+      # acquire the lock ATOMICALLY right before measuring: mkdir fails
+      # if another process holds it, closing the TOCTOU race that put a
+      # concurrent pytest inside the window-4 capture (a bare -e test +
+      # touch still let two processes both pass the test)
+      if ! mkdir "$LOCK" 2>/dev/null; then continue; fi
       if [ "$NEXT" = bench ]; then
         echo "healthy window $WIN - running bench $(date +%T)" >> "$LOG"
         rm -f BENCH_RESULT.json
@@ -62,7 +62,7 @@ while true; do
           grep -o '{"metric".*' /tmp/bench_healthy.out | tail -1 > /tmp/bench_healthy.json
         fi
         if [ -s /tmp/bench_healthy.json ] && [ $rc -eq 0 ]; then
-          cp /tmp/bench_healthy.json "BENCH/bench_r4_window${WIN}.json"
+          cp /tmp/bench_healthy.json "BENCH/bench_r5_window${WIN}.json"
           echo "bench recorded window${WIN} $(date +%T)" >> "$LOG"
           WIN=$((WIN + 1))
           NEXT=scaling
@@ -82,17 +82,17 @@ import json, sys
 recs = json.load(open('/tmp/scaling_capture.json'))
 sys.exit(0 if all(max(r['host_canary_s']) < 8.0 for r in recs) else 1)"; then
             cp /tmp/scaling_capture.json BENCH/scaling.json
-            cp /tmp/scaling_capture.json "BENCH/scaling_r4_window.json"
+            cp /tmp/scaling_capture.json "BENCH/scaling_r5_window.json"
             echo "scaling recorded (clean) $(date +%T)" >> "$LOG"
           else
             cp /tmp/scaling_capture.json \
-              "BENCH/scaling_r4_storm_$(date +%H%M).json"
+              "BENCH/scaling_r5_storm_$(date +%H%M).json"
             echo "scaling kept as storm record $(date +%T)" >> "$LOG"
           fi
           NEXT=bench
         fi
       fi
-      rm -f "$LOCK"
+      rmdir "$LOCK" 2>/dev/null || rm -rf "$LOCK"
       sleep 180
     fi
   fi

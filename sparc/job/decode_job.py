@@ -347,7 +347,14 @@ def run_decode(
         # sorted path list balances tasks (manifest files ~ uniform
         # stripes/task); parallelize slices it contiguously.
         paths = _manifest_paths(streams_dir)
-        target = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+        # no max(cores, 8) floor here: LocalTableScanExec caps parallelism
+        # at defaultParallelism, so a higher floor can only be honored by
+        # adding an exchange — and the single-stage shape is worth more
+        # than extra sub-core tasks on a <8-core host (each exchange
+        # measured ~0.6 s of pure orchestration).  Callers that want more
+        # tasks pass n_partitions explicitly and pay the one metadata-only
+        # exchange below.
+        target = n_partitions or spark.sparkContext.defaultParallelism
         # one scan unit per (manifest, shard): when manifests < target
         # parallelism, shard BELOW manifest granularity — each shard
         # decodes every n_shards-th footer (stripe) of its manifest, so
@@ -378,6 +385,7 @@ def run_decode(
         if n_partitions and n_partitions != spark.sparkContext.defaultParallelism:
             # explicit caller override: worth one (tiny, metadata-only)
             # round-robin exchange to honor the requested task count
+            # (LocalTableScanExec alone caps at defaultParallelism)
             paths_df = paths_df.repartition(n_parts)
         out = paths_df.mapInArrow(fn, schema=schema_ddl)
     elif sample.get("stripe_file"):

@@ -81,11 +81,18 @@ def init_worker() -> None:
     #
     # Both apply from each worker's second task onward (init_worker runs
     # inside the first task, after its setup_spark_files already ran).
+    # Both are process-global side effects; deployments with mutable zips
+    # under SPARK_HOME (zipimport patch) or long-lived cyclic state created
+    # mid-first-task (gc.freeze) can opt out per-knob via env.
     try:
         import gc
         import zipimport
 
-        spark_home = os.environ.get("SPARK_HOME")
+        spark_home = (
+            None
+            if os.environ.get("SPARC_NO_ZIPIMPORT_PATCH")
+            else os.environ.get("SPARK_HOME")
+        )
         if spark_home and not hasattr(zipimport.zipimporter, "_sparc_inval"):
             orig = zipimport.zipimporter.invalidate_caches
 
@@ -101,7 +108,12 @@ def init_worker() -> None:
 
             zipimport.zipimporter.invalidate_caches = _inval
             zipimport.zipimporter._sparc_inval = True
-        gc.freeze()
+        if not os.environ.get("SPARC_NO_GC_FREEZE"):
+            # Collect first so only the (acyclic, import-time) module heap
+            # is frozen — any cyclic garbage alive mid-first-task is
+            # reclaimed rather than permanently exempted.
+            gc.collect()
+            gc.freeze()
     except Exception:
         pass
     _worker_tuned = True

@@ -80,13 +80,24 @@ def _orc_tail(path: str) -> dict:
     from .engine import orcread as R
 
     size = os.path.getsize(path)
+    # Two-phase tail read (mirrors ReaderImpl.extractFileTail): read a small
+    # fixed tail to parse the PostScript, then — if the footer+metadata
+    # extend past what we buffered — re-read exactly
+    # 1 + psLen + footerLength + metadataLength bytes.  Keeps the meta/sizes
+    # subcommands correct for files whose tail exceeds the first read
+    # (many stripes, wide schemas, large stripe statistics).
     with open(path, "rb") as f:
-        f.seek(max(0, size - (1 << 20)))
+        f.seek(max(0, size - (1 << 16)))
         data = f.read()
-    ps_len = data[-1]
-    ps = R._parse_pb(data[-1 - ps_len : -1])
+        ps_len = data[-1]
+        ps = R._parse_pb(data[-1 - ps_len : -1])
+        footer_len = ps[1][0]
+        meta_len = ps.get(5, [0])[0]
+        tail_len = 1 + ps_len + footer_len + meta_len
+        if tail_len > len(data):
+            f.seek(max(0, size - tail_len))
+            data = f.read()
     kind = R._KINDS[ps.get(2, [0])[0]]
-    footer_len = ps[1][0]
     footer = R._parse_pb(
         R._inflate(data[-1 - ps_len - footer_len : -1 - ps_len], kind)
     )
