@@ -355,11 +355,17 @@ def run_decode(
         # tasks pass n_partitions explicitly and pay the one metadata-only
         # exchange below.
         target = n_partitions or spark.sparkContext.defaultParallelism
-        # one scan unit per (manifest, shard): when manifests < target
-        # parallelism, shard BELOW manifest granularity — each shard
-        # decodes every n_shards-th footer (stripe) of its manifest, so
-        # task count tracks cores instead of the encoder's task count
-        n_shards = max(1, -(-target // max(len(paths), 1)))
+        # one scan unit per (manifest, shard): when manifests are few,
+        # shard BELOW manifest granularity — each shard decodes every
+        # n_shards-th footer (stripe) of its manifest, so task count
+        # tracks cores instead of the encoder's task count.  Aim for
+        # >=2 units per task slot: with units ~= tasks, the +-1-unit
+        # remainder makes some tasks carry 2x the work (45 units on 32
+        # cores: 13 straggler tasks, measured ~15% of the decode wall at
+        # 3 GiB); at >=2x the same remainder costs <=1/2 a unit.  When
+        # manifests already exceed 2x target, n_shards=1 and unit count
+        # scales with the data — the 100 TB shape.
+        n_shards = max(1, -(-(2 * target) // max(len(paths), 1)))
         units = [(p, s, n_shards) for p in paths for s in range(n_shards)]
         n_parts = max(1, min(target, len(units)))
         fn = _decode_paths_factory(
