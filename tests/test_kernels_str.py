@@ -149,6 +149,36 @@ def test_fsst_url_like():
     assert len(enc) / len(urls) < 0.45
 
 
+def test_fsst_block_boundary_clamp():
+    # a long symbol straddling every parse-block boundary: the lockstep
+    # walk must clamp it (1-byte rescue or escape) without corrupting
+    # the round-trip or duplicating the overlapped bytes
+    sym = b"abcdefgh"  # likely trained as a long symbol
+    data = sym * ((fsst._BLOCK * 4) // len(sym) + 7)  # misaligned vs _BLOCK
+    table = fsst.train(data)
+    enc = fsst.compress(data, table)
+    assert fsst.decompress(enc, table) == data
+    # boundary cost stays tiny: within 2% of the unclamped entropy
+    assert len(enc) <= len(data) * 0.25
+
+
+def test_fsst_lockstep_matches_scalar_walk():
+    # the vectorized lockstep walk and the scalar walk (short-input path)
+    # must both round-trip the same data; sizes may differ only by the
+    # block-boundary clamp allowance
+    data = _word_soup(30000)  # > _WALK_LOCKSTEP_MIN -> lockstep
+    table = fsst.train(data)
+    enc_vec = fsst.compress(data, table)
+    assert fsst.decompress(enc_vec, table) == data
+    # scalar reference: force the short path by compressing in small pieces
+    step = fsst._WALK_LOCKSTEP_MIN - 1
+    enc_scalar = b"".join(
+        fsst.compress(data[i : i + step], table) for i in range(0, len(data), step)
+    )
+    assert fsst.decompress(enc_scalar, table) == data
+    assert len(enc_vec) <= len(enc_scalar) * 1.02 + 64
+
+
 def test_fsst_table_roundtrip():
     table = fsst.train(_word_soup(1000))
     ser = table.serialize()
