@@ -12,6 +12,7 @@ THRESH=${CANARY_THRESH:-4.0}
 LOG=/tmp/healthy_bench.log
 LOCK=/tmp/sparc_bench.lock
 WIN=${WINDOW_START:-2}
+SWIN=${SCALING_WINDOW_START:-1}
 NEXT=bench
 START_TS=$(date +%s)
 echo "watcher start $(date) thresh=$THRESH" >> "$LOG"
@@ -82,8 +83,11 @@ import json, sys
 recs = json.load(open('/tmp/scaling_capture.json'))
 sys.exit(0 if all(max(r['host_canary_s']) < 8.0 for r in recs) else 1)"; then
             cp /tmp/scaling_capture.json BENCH/scaling.json
-            cp /tmp/scaling_capture.json "BENCH/scaling_r5_window.json"
-            echo "scaling recorded (clean) $(date +%T)" >> "$LOG"
+            # numbered so consecutive clean records accumulate — the
+            # vs-ceiling claim needs 3 consecutive records agreeing
+            cp /tmp/scaling_capture.json "BENCH/scaling_r5_window${SWIN}.json"
+            echo "scaling recorded (clean) window${SWIN} $(date +%T)" >> "$LOG"
+            SWIN=$((SWIN + 1))
           else
             cp /tmp/scaling_capture.json \
               "BENCH/scaling_r5_storm_$(date +%H%M).json"
