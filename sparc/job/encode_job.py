@@ -500,6 +500,79 @@ def _plan_units(
     return files_df.repartition(n_parts, "fidx").mapInArrow(plan, schema)
 
 
+def plan_units_from_manifest(
+    spark: SparkSession, manifest_df: DataFrame,
+    target_rows_per_stripe: int,
+) -> DataFrame:
+    """Scan-unit plan [idx, path, rg_lo, rg_hi] from a MANIFEST-shaped
+    table — ``path string, rg_rows array<long>`` (per-row-group row
+    counts), optionally ``fidx long`` — with ZERO file opens anywhere:
+    every number the planner needs is already a manifest column.  This is
+    the Iceberg path end-to-end: the ``files`` metadata table (or
+    ``planTasks()``) carries per-file split offsets and record counts, so
+    a caller selects them into this shape and never lists a directory or
+    reads a footer.  Cf. reference writer-side task planning, which also
+    plans from table metadata (orc-core OrcInputFormat.generateSplitsInfo
+    analog).
+
+    Packing reuses :func:`_pack_units` per file, so unit ids are
+    IDENTICAL to filesystem planning (:func:`_plan_units`) given the same
+    file order — a job may plan from the manifest today and from footers
+    tomorrow and resume still anti-joins correctly.  When ``fidx`` is
+    absent it is assigned by path order (deterministic for a fixed
+    snapshot).  The planning fan-out is metadata-sized: 10^6 manifest
+    rows is ~tens of MB through one shuffle, independent of data volume.
+    """
+    from pyspark.sql import Window
+
+    if "fidx" not in manifest_df.columns:
+        manifest_df = manifest_df.withColumn(
+            "fidx",
+            F.row_number().over(Window.orderBy("path")).cast("long") - 1,
+        )
+    per = max(target_rows_per_stripe, 1)
+    schema = "idx long, path string, rg_lo int, rg_hi int"
+    n_parts = max(1, spark.sparkContext.defaultParallelism * 2)
+
+    def plan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # pure metadata arithmetic — deliberately no pyarrow.parquet
+        # import, no filesystem access: poisoning/nonexistent paths in
+        # tests prove planning never touches a file
+        for b in batches:
+            idxs, paths, los, his = [], [], [], []
+            for fidx, path, rg_rows in zip(
+                b.column("fidx").to_pylist(),
+                b.column("path").to_pylist(),
+                b.column("rg_rows").to_pylist(),
+            ):
+                if fidx >= 1 << 26:
+                    raise ValueError(
+                        f"fidx {fidx} exceeds the 2^26 unit id space"
+                    )
+                for idx, lo, hi in _pack_units(
+                    fidx, len(rg_rows), rg_rows.__getitem__, per
+                ):
+                    idxs.append(idx)
+                    paths.append(path)
+                    los.append(lo)
+                    his.append(hi)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idxs, pa.int64()),
+                    pa.array(paths, pa.string()),
+                    pa.array(los, pa.int32()),
+                    pa.array(his, pa.int32()),
+                ],
+                names=["idx", "path", "rg_lo", "rg_hi"],
+            )
+
+    return (
+        manifest_df.select("fidx", "path", "rg_rows")
+        .repartition(n_parts, "fidx")
+        .mapInArrow(plan, schema)
+    )
+
+
 def run_encode_paths(
     spark: SparkSession,
     input_dir: str,

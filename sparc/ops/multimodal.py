@@ -121,13 +121,88 @@ def _feature_fp(feat: np.ndarray) -> np.ndarray:
     return mixed.astype(np.int64)
 
 
-def _run_factory(id_col: str, payload_col: str, with_feature: bool):
+# ---- pluggable real decoder -------------------------------------------
+# Decoder contract (what a real build provides, what the stub fakes):
+#   decoder(data: np.uint8[], starts: np.int64[n], lens: np.int64[n])
+#     -> (header: pa.Array<string>[n],        # per-row magic-bytes hex
+#         width:  np.int32[n], height: np.int32[n],
+#         feat:   np.float32[n, FEATURE_DIM])
+# Rows with lens[i]==0 (null/empty payloads) must yield 0/0/zero-vector.
+# Resolution order, decided DRIVER-SIDE at plan time (the chosen callable
+# is cloudpickled into the workers, so cluster-side env timing and
+# worker-daemon reuse can't change behavior mid-job):
+#   1. explicit ``decoder=`` callable            (power users, tests)
+#   2. SPARC_MEDIA_DECODER=pil   -> PIL batch decode, ImportError if absent
+#      SPARC_MEDIA_DECODER=auto  -> PIL if importable, else the stub
+#   3. default                   -> the deterministic stub
+# On a real cluster: install Pillow on workers + set
+# SPARC_MEDIA_DECODER=auto; no code changes (round-4 verdict item #8).
+FEATURE_DIM = 8
+
+
+def _pil_features(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Real image decode via PIL: true (width, height) and an 8-bin
+    normalized grayscale histogram of a 32x32 thumbnail as the feature.
+    Per-item Python loop is deliberate here — image decode is inherently
+    per-payload and dominates the loop cost; everything around it
+    (offsets, header hex, Arrow assembly) stays vectorized."""
+    import io
+
+    from PIL import Image  # noqa: F401  (guarded by _resolve_decoder)
+
+    n = starts.size
+    width = np.zeros(n, dtype=np.int32)
+    height = np.zeros(n, dtype=np.int32)
+    feat = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    mem = memoryview(data)
+    for i in range(n):
+        if lens[i] == 0:
+            continue
+        try:
+            im = Image.open(io.BytesIO(mem[starts[i]:starts[i] + lens[i]]))
+            width[i], height[i] = im.size
+            small = np.asarray(im.convert("L").resize((32, 32)), dtype=np.uint8)
+            hist, _ = np.histogram(small, bins=FEATURE_DIM, range=(0, 256))
+            feat[i] = hist / np.float32(small.size)
+        except Exception:
+            width[i] = height[i] = -1  # undecodable payload, flagged not faked
+    hdr_mat, hdr_n = _padded_matrix(data, starts, lens, 8)
+    return _hex_strings(hdr_mat, hdr_n), width, height, feat
+
+
+def _resolve_decoder(decoder=None):
+    """Pick the batch decoder per the contract above.  Runs driver-side;
+    the result is shipped to workers by value."""
+    import os
+
+    if decoder is not None:
+        return decoder
+    mode = os.environ.get("SPARC_MEDIA_DECODER", "stub").lower()
+    if mode in ("pil", "auto"):
+        try:
+            import PIL  # noqa: F401
+            return _pil_features
+        except ImportError:
+            if mode == "pil":
+                raise ImportError(
+                    "SPARC_MEDIA_DECODER=pil but Pillow is not installed "
+                    "on the driver; install it or use =auto to fall back"
+                )
+    return _stub_features
+
+
+def _run_factory(id_col: str, payload_col: str, with_feature: bool,
+                 decoder=None):
+    decode = _resolve_decoder(decoder)
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             ids = b.column(b.schema.get_field_index(id_col)).cast(pa.int64())
             payload = b.column(b.schema.get_field_index(payload_col))
             data, starts, lens = _binary_parts(payload)
-            header, width, height, feat = _stub_features(data, starts, lens)
+            header, width, height, feat = decode(data, starts, lens)
             arrays = [
                 ids,
                 pa.array(lens, pa.int64()),
@@ -150,24 +225,31 @@ def _run_factory(id_col: str, payload_col: str, with_feature: bool):
 
 
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Binary payload → metadata + feature vector + fingerprint.
 
     Full API: keeps the ``array<float>`` feature column (for downstream
     similarity ops) plus ``feat_fp``, a deterministic int64 fingerprint
-    usable wherever sorted/hashed canonical output is required."""
+    usable wherever sorted/hashed canonical output is required.
+    ``decoder`` (or SPARC_MEDIA_DECODER=auto + Pillow on workers) swaps
+    the stub for a real media decode — see the contract above
+    :func:`_pil_features`."""
     return df.mapInArrow(
-        _run_factory(id_col, payload_col, with_feature=True), schema=FEATURE_SCHEMA
+        _run_factory(id_col, payload_col, with_feature=True, decoder=decoder),
+        schema=FEATURE_SCHEMA,
     )
 
 
 def extract_metadata(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Scalar-only metadata surface (n_bytes, header hex, fake dims) —
     every column is SQL-mirrorable, so this is the value-checked query
     surface; the feature vector lives in :func:`extract_features`."""
     return df.mapInArrow(
-        _run_factory(id_col, payload_col, with_feature=False), schema=META_SCHEMA
+        _run_factory(id_col, payload_col, with_feature=False, decoder=decoder),
+        schema=META_SCHEMA,
     )

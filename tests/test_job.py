@@ -8,6 +8,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sparc.fixtures import pages
 from sparc.job import decode_job, encode_job, partition
@@ -477,6 +478,113 @@ def test_run_encode_units_iceberg_shape(spark, pages_path, tmp_path):
         spark, units, out, target_rows_per_stripe=1500, fingerprint="pages@42",
     )
     assert res2["skipped"] == n_stripes and res2["n_units"] == 0
+
+
+def test_manifest_planning_zero_file_opens_10k(spark, monkeypatch):
+    """Round-4 verdict item #6: manifest-driven planning end-to-end with
+    zero file opens.  10^4 manifest entries whose paths DO NOT EXIST —
+    any footer read anywhere (driver or worker) would raise — and
+    pq.ParquetFile additionally poisoned driver-side.  The plan must
+    still pack units exactly as _pack_units would from the same
+    metadata."""
+    import pyarrow.parquet as pq
+
+    n_files = 10_000
+    manifest = spark.range(n_files).select(
+        F.col("id").alias("fidx"),
+        F.concat(F.lit("/nonexistent/iceberg/data/f"), F.col("id"), F.lit(".parquet"))
+        .alias("path"),
+        # 3 row groups of 1000/1500/500 rows per file (from the manifest,
+        # never from a footer)
+        F.array(F.lit(1000), F.lit(1500), F.lit(500)).cast("array<long>")
+        .alias("rg_rows"),
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("file open during manifest planning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    units = encode_job.plan_units_from_manifest(spark, manifest, 2000)
+    got = units.groupBy().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("idx").alias("n_ids"),
+        F.sum(F.col("rg_hi") - F.col("rg_lo")).alias("rgs"),
+    ).collect()[0]
+    # per file: greedy packing of [1000,1500,500] at per=2000 ->
+    # [(0, rg 0..2), (1, rg 2..3)] = 2 units covering 3 row groups
+    expected = [
+        (0, 0, 2), (1, 2, 3),
+    ]
+    assert encode_job._pack_units(0, 3, [1000, 1500, 500].__getitem__, 2000) == [
+        (0 * encode_job.UNIT_SPACE + u, lo, hi) for u, lo, hi in expected
+    ]
+    assert got["n"] == 2 * n_files
+    assert got["n_ids"] == 2 * n_files
+    assert got["rgs"] == 3 * n_files
+
+
+def test_manifest_planning_id_parity_and_encode(spark, pages_path, tmp_path,
+                                                monkeypatch):
+    """Manifest-planned unit ids equal filesystem-planned ids for the
+    same files, and run_encode_units over a manifest-built plan produces
+    a round-trippable output with pq.ParquetFile poisoned on the driver
+    (planning reads nothing; only encode workers touch data)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(pages_path, f) for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    ) if os.path.isdir(pages_path) else [pages_path]
+    # the "manifest": per-file row-group row counts, read ONCE here to
+    # synthesize what Iceberg's files table would carry
+    mrows = []
+    for fidx, path in enumerate(files):
+        md = pq.ParquetFile(path).metadata
+        mrows.append(
+            (fidx, path,
+             [md.row_group(g).num_rows for g in range(md.num_row_groups)])
+        )
+    manifest = spark.createDataFrame(
+        mrows, "fidx long, path string, rg_rows array<long>"
+    )
+
+    fs_ids = sorted(
+        tuple(r)
+        for r in encode_job._plan_units(spark, files, 1500).collect()
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side file open with manifest planning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    units = encode_job.plan_units_from_manifest(spark, manifest, 1500)
+    assert sorted(tuple(r) for r in units.collect()) == fs_ids
+
+    out = str(tmp_path / "streams")
+    res = encode_job.run_encode_units(
+        spark, units, out, target_rows_per_stripe=1500,
+        fingerprint="pages@42",
+    )
+    assert res["n_units"] == len(fs_ids)
+    monkeypatch.undo()
+    _compare_roundtrip(spark, spark.read.parquet(pages_path), out)
+
+
+def test_manifest_planning_without_fidx_is_deterministic(spark):
+    """fidx defaults to path order: two plans of the same manifest agree
+    id-for-id even through the shuffle."""
+    manifest = spark.createDataFrame(
+        [(f"/data/part-{i:03d}.parquet", [700, 900]) for i in (3, 1, 2, 0)],
+        "path string, rg_rows array<long>",
+    )
+    a = sorted(tuple(r) for r in
+               encode_job.plan_units_from_manifest(spark, manifest, 1000).collect())
+    b = sorted(tuple(r) for r in
+               encode_job.plan_units_from_manifest(spark, manifest, 1000).collect())
+    assert a == b
+    # path order, not insertion order, defines fidx
+    paths_by_fidx = [r[1] for r in sorted(a)]
+    assert paths_by_fidx == sorted(paths_by_fidx)
 
 
 def test_input_strategy_partial_failure_group_resume(spark, pages_path, tmp_path):

@@ -76,6 +76,113 @@ def test_metadata_surface_schema(spark):
     assert (r["n_bytes"], r["header"]) == (3, "616263")
 
 
+def _install_fake_pil(monkeypatch):
+    """A fake PIL whose Image.open parses b'IMG' + (w, h, fill) payloads —
+    drives the real import guard and the real _pil_features code."""
+    import sys
+    import types
+
+    class _Img:
+        def __init__(self, w, h, fill):
+            self.size = (w, h)
+            self._fill = fill
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return np.full((wh[1], wh[0]), self._fill, np.uint8)
+
+    class Image:
+        @staticmethod
+        def open(buf):
+            raw = buf.getvalue()
+            if not raw.startswith(b"IMG") or len(raw) < 6:
+                raise ValueError("not an image")
+            return _Img(raw[3], raw[4], raw[5])
+
+    pil = types.ModuleType("PIL")
+    pil.Image = Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+
+
+def test_fake_pil_flows_through_guard(monkeypatch):
+    """Round-4 verdict item #8: injecting a PIL module makes REAL decode
+    results (true dims, histogram features) flow through the exact same
+    plumbing the stub uses — resolution guard, offset extraction, batch
+    Arrow assembly — with no code changes."""
+    import pyarrow as pa
+
+    _install_fake_pil(monkeypatch)
+    monkeypatch.setenv("SPARC_MEDIA_DECODER", "auto")
+    assert multimodal._resolve_decoder() is multimodal._pil_features
+
+    payloads = [b"IMG" + bytes([40, 30, 128]), b"", b"not-an-image-x"]
+    arr = pa.array(payloads, pa.binary())
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([0, 1, 2], pa.int64()), arr], names=["doc_id", "payload"]
+    )
+    # the identical generator Spark workers run, driven in-process so the
+    # injected module is visible to the decode
+    run = multimodal._run_factory("doc_id", "payload", with_feature=True)
+    out = list(run(iter([rb])))[0]
+    names = out.schema.names
+    w = out.column(names.index("fake_width")).to_pylist()
+    h = out.column(names.index("fake_height")).to_pylist()
+    feats = out.column(names.index("feature")).to_pylist()
+    assert (w[0], h[0]) == (40, 30)  # true dims from the (fake) decoder
+    # constant gray 128 -> all mass in histogram bin 4
+    np.testing.assert_allclose(feats[0], [0, 0, 0, 0, 1, 0, 0, 0], atol=1e-6)
+    assert (w[1], h[1]) == (0, 0)     # empty payload
+    assert (w[2], h[2]) == (-1, -1)   # undecodable: flagged, not faked
+    assert out.column(names.index("header")).to_pylist()[0].startswith("494d47")
+
+
+def test_custom_decoder_ships_to_spark_workers(spark):
+    """An explicit decoder callable cloudpickles into the workers and its
+    values come back through the full mapInArrow surface."""
+
+    def decode(data, starts, lens):
+        n = starts.size
+        hdr_mat, hdr_n = multimodal._padded_matrix(data, starts, lens, 8)
+        header = multimodal._hex_strings(hdr_mat, hdr_n)
+        width = (lens % 1000).astype(np.int32)
+        height = np.full(n, 7, np.int32)
+        feat = np.tile(np.arange(8, dtype=np.float32) / 8.0, (n, 1))
+        return header, width, height, feat
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PAYLOADS)], "doc_id long, payload binary"
+    ).repartition(2)
+    rows = multimodal.extract_features(df, decoder=decode).orderBy("id").collect()
+    assert len(rows) == len(PAYLOADS)
+    for r in rows:
+        assert r["fake_height"] == 7
+        assert r["fake_width"] == r["n_bytes"] % 1000
+        np.testing.assert_allclose(
+            r["feature"], np.arange(8) / 8.0, atol=1e-6
+        )
+
+
+def test_pil_mode_strict_raises_without_pil(monkeypatch):
+    import sys
+
+    monkeypatch.setenv("SPARC_MEDIA_DECODER", "pil")
+    monkeypatch.setitem(sys.modules, "PIL", None)  # force ImportError
+    with pytest.raises(ImportError, match="SPARC_MEDIA_DECODER=pil"):
+        multimodal._resolve_decoder()
+
+
+def test_auto_mode_falls_back_to_stub_without_pil(monkeypatch):
+    import sys
+
+    monkeypatch.setenv("SPARC_MEDIA_DECODER", "auto")
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    assert multimodal._resolve_decoder() is multimodal._stub_features
+    monkeypatch.delenv("SPARC_MEDIA_DECODER")
+    assert multimodal._resolve_decoder() is multimodal._stub_features
+
+
 def test_matches_spark_sql_mirror(spark):
     """The vectorized numpy path agrees with a pure-SQL recomputation."""
     df = spark.createDataFrame(
