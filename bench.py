@@ -333,14 +333,38 @@ _WINDOW_FIELDS = [
     "encode_pool_gbps",
 ]
 _CLEAN_CANARY_S = 8.0
+# Per-leg SYSTEM-CPU ceilings (core-s/GiB) for the XL encode legs: a
+# fault storm can start and end between two clean endpoint canaries
+# (r5 window-1: input leg 112 system core-s/GiB, canaries [0.8, 1.4]),
+# but it cannot hide from the legs' own sys-CPU accounting.  Thresholds
+# from the measured record population — clean windows: input 25-34,
+# pyscan 3-19, ref 0.5-4; storm-tainted: input 112-218.  A record over
+# any ceiling is excluded from the headline medians REGARDLESS of which
+# side the storm flattered (round-4 window-5 and r5 window-1 both get
+# excluded by this rule; the latter favored us).
+_CLEAN_SYS_CORE_S = {"input": 60.0, "pyscan": 40.0, "ref": 12.0}
+
+
+def _record_is_clean(r: dict) -> bool:
+    cs = r.get("host_canary_s")
+    if not cs or max(cs) >= _CLEAN_CANARY_S:
+        return False
+    for leg, cap in _CLEAN_SYS_CORE_S.items():
+        tot = r.get(f"{leg}_core_s_per_gib_xl")
+        usr = r.get(f"{leg}_user_core_s_per_gib_xl")
+        if (isinstance(tot, (int, float)) and isinstance(usr, (int, float))
+                and tot - usr > cap):
+            return False
+    return True
 
 
 def window_medians(current: dict, bench_dir: str = "BENCH") -> dict:
-    """Aggregate this round's canary-clean window records (plus the
-    current run, when clean) into per-field median + [min, max] range.
-    A record is clean when every embedded host canary stayed under
-    8 s — storm-degraded captures are excluded from the headline but
-    remain on disk with their own canary context."""
+    """Aggregate this round's clean window records (plus the current
+    run, when clean) into per-field median + [min, max] range.  A record
+    is clean when every embedded host canary stayed under 8 s AND no XL
+    leg shows fault-storm system CPU (_record_is_clean) — storm-degraded
+    captures are excluded from the headline but remain on disk with
+    their own canary context."""
     import glob
 
     recs: list[dict] = []
@@ -352,14 +376,12 @@ def window_medians(current: dict, bench_dir: str = "BENCH") -> dict:
         except Exception:
             continue
     recs.append(current)
-    clean = [
-        r for r in recs
-        if r.get("host_canary_s") and max(r["host_canary_s"]) < _CLEAN_CANARY_S
-    ]
+    clean = [r for r in recs if _record_is_clean(r)]
     out: dict = {
         "windows_considered": len(recs),
         "windows_clean": len(clean),
         "window_clean_canary_s": _CLEAN_CANARY_S,
+        "window_clean_sys_core_s": _CLEAN_SYS_CORE_S,
     }
     for field in _WINDOW_FIELDS:
         vals = [r[field] for r in clean if isinstance(r.get(field), (int, float))]
@@ -375,6 +397,12 @@ def main() -> None:
     os.makedirs(CACHE, exist_ok=True)
     pages_path = os.path.join(CACHE, f"pages_{n_rows}_rg2m.parquet")
     canary_start = host_canary_seconds()
+    # appended at phase boundaries below: this VM's fault storms are
+    # bursty enough to start and end INSIDE a run whose endpoint
+    # canaries are clean (r5 window-1: input XL leg at 112 system
+    # core-s/GiB between two sub-2 s canaries), so the clean-window
+    # gate needs mid-run samples
+    mid_canaries: list[float] = []
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -672,6 +700,7 @@ def main() -> None:
     # and the ratio reflects the engine, not the task launcher.  Skipped
     # when the bench is running a reduced-row smoke.
     if n_rows >= 100_000:
+        mid_canaries.append(host_canary_seconds())
         xl_rows = n_rows * 3
         xl_pages = os.path.join(CACHE, f"pages_{xl_rows}_rg2m.parquet")
         gen_pages_parquet(spark, xl_rows, xl_pages)
@@ -731,6 +760,7 @@ def main() -> None:
         # decode_vs_reference_wall_sf
         extras["decode_vs_reference_wall"] = extras["decode_vs_reference_wall_xl"]
 
+        mid_canaries.append(host_canary_seconds())
         # ---- XL encode A/B (same 3x input) --------------------------------
         # The 1 GiB headline charges ~1 job's worth of fixed CPU (task
         # scheduling, codegen, worker handshakes, GC) against a single
@@ -834,7 +864,9 @@ def main() -> None:
 
     spark.stop()
 
-    extras["host_canary_s"] = [canary_start, host_canary_seconds()]
+    extras["host_canary_s"] = (
+        [canary_start] + mid_canaries + [host_canary_seconds()]
+    )
     extras["input_wall_best"] = round(min(inp_walls), 3)
     extras["pyscan_wall_best"] = round(min(pys_walls), 3)
     extras["encode_wall_best"] = round(min(ours_walls), 3)
