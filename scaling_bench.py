@@ -366,5 +366,45 @@ def main() -> None:
         json.dump(results, f, indent=2)
 
 
+def summarize() -> None:
+    """Cross-record agreement over the round's clean scaling captures
+    (BENCH/scaling_r5_window*.json): per 8->32 record, the efficiency
+    numbers that gate the north-rule claim, plus whether the last three
+    consecutive records agree within +-0.05 on stage_efficiency_vs_ceiling
+    (round-4 verdict item #4's reproducibility bar)."""
+    import glob
+
+    fields = [
+        "job_input_efficiency", "job_pyscan_efficiency", "stage_efficiency",
+        "hardware_ceiling_efficiency", "hardware_ceiling_spread",
+        "stage_efficiency_vs_ceiling", "job_input_efficiency_vs_ceiling",
+        "hash_shuffle_efficiency", "hash_encode_net_efficiency",
+    ]
+    rows = []
+    for p in sorted(glob.glob("BENCH/scaling_r5_window*.json")):
+        for rec in json.load(open(p)):
+            if rec.get("pair", "").endswith("local[32]"):
+                rows.append((p.split("/")[-1], rec))
+    out: dict = {"records": []}
+    for name, rec in rows:
+        out["records"].append(
+            {"file": name, "canary": rec["host_canary_s"],
+             **{f: rec.get(f) for f in fields}}
+        )
+    vals = [r["stage_efficiency_vs_ceiling"] for _, r in rows
+            if isinstance(r.get("stage_efficiency_vs_ceiling"), (int, float))]
+    if len(vals) >= 3:
+        last3 = vals[-3:]
+        out["last3_stage_eff_vs_ceiling"] = last3
+        out["last3_agree_within_0p05"] = max(last3) - min(last3) <= 0.05
+    else:
+        out["last3_agree_within_0p05"] = None
+        out["n_records"] = len(vals)
+    print(json.dumps(out, indent=1))
+
+
 if __name__ == "__main__":
-    main()
+    if "--summarize" in sys.argv:
+        summarize()
+    else:
+        main()
