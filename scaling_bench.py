@@ -67,11 +67,15 @@ def cpu_ceiling(n: int, n4: int, reps: int = 3, probe_reps: int = 3) -> tuple[fl
     itself run in N vs 4N concurrent processes (no Spark).  This is the
     best ANY scheduler could do for this workload on this box.
 
-    ``probe_reps`` INTERLEAVED repetitions per leg (N, 4N, N, 4N, ...),
-    median-aggregated, because the probe's own run-to-run spread on this
-    VM (0.66-0.82 across round-4 clean runs) was wider than the claim it
-    gates.  Returns (median efficiency, per-rep efficiencies) so the
-    record carries the spread."""
+    ``probe_reps`` INTERLEAVED repetitions per leg (N, 4N, N, 4N, ...).
+    The headline efficiency uses the BEST aggregate per leg across reps:
+    a ceiling is a capability, and this VM's fault-storm bursts only
+    SUBTRACT from a leg's measured rate — per-rep pairwise efficiencies
+    spread 0.15-1.7 when one leg of one pair eats a burst (measured in
+    scaling_r5_window1), wider than the claim the probe gates, while
+    max-per-leg converges as soon as each leg gets one storm-free rep.
+    Returns (best-leg efficiency, per-rep pairwise efficiencies) so the
+    record still carries the raw spread as storm evidence."""
 
     def agg(nproc: int) -> float:
         q = mp.Queue()
@@ -84,11 +88,13 @@ def cpu_ceiling(n: int, n4: int, reps: int = 3, probe_reps: int = 3) -> tuple[fl
             p.join()
         return sum(rates)
 
-    effs = []
+    a_ns, a_4ns, effs = [], [], []
     for _ in range(probe_reps):
         a_n, a_4n = agg(n), agg(n4)
+        a_ns.append(a_n)
+        a_4ns.append(a_4n)
         effs.append((a_4n / a_n) / (n4 / n))
-    return _median(effs), [round(e, 4) for e in effs]
+    return (max(a_4ns) / max(a_ns)) / (n4 / n), [round(e, 4) for e in effs]
 
 
 def _fault(q, barrier, mb):
@@ -111,7 +117,8 @@ def fault_ceiling(n: int, n4: int, mb: int = 256, probe_reps: int = 3) -> tuple[
     (aggregate MiB/s at 4N vs N, normalized).  Reported next to the
     kernel-CPU ceiling: the job's achievable efficiency lies between
     them depending on how much fresh memory its processes touch.
-    Interleaved repetitions + median, like :func:`cpu_ceiling`."""
+    Interleaved repetitions + best-leg aggregation, like
+    :func:`cpu_ceiling` (storm bursts only subtract from a leg's rate)."""
 
     def agg(nproc: int) -> float:
         q = mp.Queue()
@@ -124,11 +131,13 @@ def fault_ceiling(n: int, n4: int, mb: int = 256, probe_reps: int = 3) -> tuple[
             p.join()
         return sum(rates)
 
-    effs = []
+    a_ns, a_4ns, effs = [], [], []
     for _ in range(probe_reps):
         a_n, a_4n = agg(n), agg(n4)
+        a_ns.append(a_n)
+        a_4ns.append(a_4n)
         effs.append((a_4n / a_n) / (n4 / n))
-    return _median(effs), [round(e, 4) for e in effs]
+    return (max(a_4ns) / max(a_ns)) / (n4 / n), [round(e, 4) for e in effs]
 
 
 def _session(cpus: int):
@@ -318,8 +327,13 @@ def main() -> None:
             "hash_noop_wall_n": round(hf_n, 2),
             "hash_noop_wall_4n": round(hf_4n, 2),
             "hash_shuffle_efficiency": round((hf_n / hf_4n) / speedup, 4),
-            "hash_encode_net_efficiency": round(
-                max(j_n - hf_n, 1e-9) / max(j_4n - hf_4n, 1e-9) / speedup, 4
+            # null when a storm makes the no-op wall exceed the full-job
+            # wall on either leg (they're separate runs): the subtraction
+            # is then meaningless and a clamped divisor fabricates huge
+            # ratios (scaling_r5_window2's 8->32 leg measured 2.5e9)
+            "hash_encode_net_efficiency": (
+                round((j_n - hf_n) / (j_4n - hf_4n) / speedup, 4)
+                if j_n > hf_n and j_4n > hf_4n else None
             ),
             # headline (input strategy, shuffle-free, files sink) as a
             # full job — the configuration the efficiency target is about
@@ -348,9 +362,12 @@ def main() -> None:
             # fixed scan/transfer/schedule cost at each parallelism
             "floor_wall_n": round(f_n, 2),
             "floor_wall_4n": round(f_4n, 2),
-            # engine-only scaling: plumbing floor subtracted on both sides
-            "net_efficiency": round(
-                max(s_n - f_n, 1e-9) / max(s_4n - f_4n, 1e-9) / speedup, 4
+            # engine-only scaling: plumbing floor subtracted on both
+            # sides; null if a storm inverts stage vs floor on either leg
+            # (separate runs — a clamped divisor would fabricate ratios)
+            "net_efficiency": (
+                round((s_n - f_n) / (s_4n - f_4n) / speedup, 4)
+                if s_n > f_n and s_4n > f_4n else None
             ),
             "hardware_ceiling_efficiency": round(ceiling, 4),
             "hardware_ceiling_reps": ceiling_reps,
