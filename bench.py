@@ -200,22 +200,28 @@ def _pool_decode_unit(args):
 _POOL_ENC_TABLES: list = []
 
 
-def _pool_encode_unit(i: int):
+def _pool_encode_unit(args):
     """Encode one pre-generated pages stripe with the real stripe encoder.
     Tables live in the parent before the fork (COW inheritance), so a
     dynamically-scheduled worker never pays generation inside the timed
-    wall regardless of which units it grabs."""
+    wall regardless of which units it grabs.  ``fsst`` None = the
+    engine's post-codec auto-gate (rejects FSST on this fixture, zstd
+    wins); True forces FSST on every string/binary column so the record
+    carries the vectorized-walk throughput explicitly."""
+    i, fsst = args
     from sparc import runtime
     from sparc.engine import stripe as stripe_mod
 
     runtime.init_worker()
-    streams, _ = stripe_mod.encode_stripe(_POOL_ENC_TABLES[i], codec="zstd")
+    streams, _ = stripe_mod.encode_stripe(_POOL_ENC_TABLES[i], codec="zstd", fsst=fsst)
     return sum(len(v) for v in streams.values())
 
 
-def _pool_encode_walls(n_rows: int, nproc: int, rounds: int = 3) -> list[float]:
-    """Walls for a full pool encode of the pages fixture — the engine's
-    encode ceiling with zero Spark involvement."""
+def _pool_encode_walls(
+    n_rows: int, nproc: int, rounds: int = 3, fsst: bool | None = None
+) -> tuple[list[float], int]:
+    """(walls, compressed bytes) for a full pool encode of the pages
+    fixture — the engine's encode ceiling with zero Spark involvement."""
     import multiprocessing as mp
 
     from sparc.fixtures import pages as pages_mod
@@ -226,18 +232,18 @@ def _pool_encode_walls(n_rows: int, nproc: int, rounds: int = 3) -> list[float]:
         _POOL_ENC_TABLES.append(
             pages_mod.generate(min(per, n_rows - off), seed=42, row_offset=off)
         )
-    units = list(range(len(_POOL_ENC_TABLES)))
+    units = [(i, fsst) for i in range(len(_POOL_ENC_TABLES))]
     walls = []
     try:
         with mp.Pool(nproc) as pool:
-            pool.map(_pool_encode_unit, units)  # warm: imports + fault pages
+            sizes = pool.map(_pool_encode_unit, units)  # warm: imports + faults
             for _ in range(rounds):
                 t0 = time.perf_counter()
-                pool.map(_pool_encode_unit, units)
+                sizes = pool.map(_pool_encode_unit, units)
                 walls.append(time.perf_counter() - t0)
     finally:
         _POOL_ENC_TABLES.clear()
-    return walls
+    return walls, sum(sizes)
 
 
 def _pool_decode_walls(streams_dir: str, nproc: int, rounds: int = 3) -> list[float]:
@@ -686,9 +692,16 @@ def main() -> None:
     # 32-process pool over the same fixture rows (generation cached and
     # untimed) — comparable to the reference writer's in-JVM threads
     try:
-        enc_pool_walls = _pool_encode_walls(n_rows, CPUS, rounds=3)
+        enc_pool_walls, _ = _pool_encode_walls(n_rows, CPUS, rounds=3)
         extras["encode_pool_gbps"] = round(raw / min(enc_pool_walls) / 1e9, 4)
         extras["encode_pool_walls"] = [round(x, 3) for x in enc_pool_walls]
+        # same pool with FSST FORCED on url/text (the auto-gate rejects it
+        # on this fixture — zstd alone wins on size), so the record shows
+        # the vectorized-walk throughput + its size cost explicitly
+        fsst_walls, fsst_bytes = _pool_encode_walls(n_rows, CPUS, rounds=2, fsst=True)
+        extras["encode_pool_fsst_gbps"] = round(raw / min(fsst_walls) / 1e9, 4)
+        extras["encode_pool_fsst_walls"] = [round(x, 3) for x in fsst_walls]
+        extras["encode_pool_fsst_bytes_per_row"] = round(fsst_bytes / n_rows, 2)
     except Exception as exc:
         extras["encode_pool_gbps"] = None
         extras["encode_pool_err"] = str(exc)[:200]
