@@ -10,8 +10,11 @@ table, code 255 escapes one literal byte.  Training is a deterministic
 iterative merge (singles → pairs → longer), scored by frequency × length.
 
 Encode: vectorized longest-match precompute (mul-built big-endian window
-keys + per-length direct/hash lookup tables — no 64-bit shifts and no
-``searchsorted``, both ~100x slow on this host), then a BLOCK-ALIGNED
+keys split into two uint32 halves + per-length direct/hash lookup tables
+with masked-prefix verification — uint32 ops measure ~2x uint64 on this
+host, and the masked compare replaces a vector integer divide, numpy's
+slowest element op here; no ``searchsorted``, ~100x slow on this host),
+then a BLOCK-ALIGNED
 lockstep greedy walk: a token boundary is forced every ``_BLOCK`` bytes
 (matches may not cross it), which makes every block's parse independent,
 so all blocks advance one token per iteration as a single numpy gather
@@ -40,24 +43,24 @@ SAMPLE_TARGET = 1 << 15
 
 _HASH_BITS = 16
 _HASH_SIZE = 1 << _HASH_BITS
-_HASH_MASK = np.uint64(_HASH_SIZE - 1)
-_HASH_MUL = np.uint64(0x9E3779B97F4A7C15)
-_D16 = np.uint64(1 << 16)
-_D32 = np.uint64(1 << 32)
-_D48 = np.uint64(1 << 48)
+# low 16 bits of the 64-bit golden ratio: only the product's low half
+# survives the & 0xFFFF, and (x*M) mod 2^16 == ((x mod 2^16)*(M mod 2^16))
+# mod 2^16, so the 16-bit multiplier is bit-identical to the old 64-bit
+# one while staying inside uint32 vector arithmetic
+_HASH_MUL16 = np.uint32(0x7C15)
+_MASK16 = np.uint32(0xFFFF)
 
 
-def _mix16(k: np.ndarray) -> np.ndarray:
-    """uint64 -> 16-bit slot, shift-free (floordiv/xor/mul are fast here)."""
-    with np.errstate(over="ignore"):  # wrap-around multiply is intended
-        x = k ^ (k // _D16) ^ (k // _D32) ^ (k // _D48)
-        return (x * _HASH_MUL) & _HASH_MASK
+def _mix16(key3: np.ndarray) -> np.ndarray:
+    """24-bit first-3-bytes key (uint32) -> 16-bit slot, all uint32 ops."""
+    x = key3 ^ (key3 >> np.uint32(16))
+    return ((x & _MASK16) * _HASH_MUL16) & _MASK16
 
 
-def _mix16_scalar(key: int) -> int:
+def _mix16_scalar(key3: int) -> int:
     """Python-int twin of :func:`_mix16` (bit-identical, no numpy overhead)."""
-    x = key ^ (key >> 16) ^ (key >> 32) ^ (key >> 48)
-    return (x * 0x9E3779B97F4A7C15) & 0xFFFF
+    x = key3 ^ (key3 >> 16)
+    return ((x & 0xFFFF) * 0x7C15) & 0xFFFF
 
 
 class SymbolTable:
@@ -65,7 +68,8 @@ class SymbolTable:
 
     __slots__ = (
         "symbols", "sym_buf", "sym_off", "sym_len", "_dropped",
-        "_h_div", "_h_key", "_h_code", "_h_len", "_t2", "_t1",
+        "_h_khi", "_h_klo", "_h_mhi", "_h_mlo",
+        "_h_code", "_h_len", "_t2", "_t1",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -83,14 +87,22 @@ class SymbolTable:
         self.sym_buf = np.frombuffer(bytes(buf), dtype=np.uint8)
         # single-probe match tables (the real-FSST lookup shape): lengths
         # 3..8 share ONE hash table slotted by the first 3 bytes — each
-        # slot holds (divisor 256^(8-L), full big-endian key, code, L) and
-        # the lookup verifies window // divisor == key; lengths 1/2 are
-        # direct-addressed.  One symbol per slot: on collision the LONGER
-        # symbol wins (greedy quality), the loser is dropped from matching
-        # (correctness unaffected — matching is optional).
+        # slot holds the symbol's zero-padded 8-byte key split into two
+        # big-endian uint32 halves plus the matching L-byte prefix masks,
+        # and the lookup verifies (window & mask) == key per half (no
+        # vector integer divide — numpy's slowest element op on this
+        # host); lengths 1/2 are direct-addressed.  One symbol per slot:
+        # on collision the LONGER symbol wins (greedy quality), the loser
+        # is dropped from matching (correctness unaffected — matching is
+        # optional).
         self._dropped = 0
-        self._h_div = np.ones(_HASH_SIZE, dtype=np.uint64)
-        self._h_key = np.zeros(_HASH_SIZE, dtype=np.uint64)
+        self._h_khi = np.zeros(_HASH_SIZE, dtype=np.uint32)
+        self._h_klo = np.zeros(_HASH_SIZE, dtype=np.uint32)
+        # mask default all-ones with key 0 != real windows... an empty
+        # slot must never verify: keep len 0 as the gate (hit requires
+        # _h_len > 0), masks/keys of empty slots are never trusted alone
+        self._h_mhi = np.zeros(_HASH_SIZE, dtype=np.uint32)
+        self._h_mlo = np.zeros(_HASH_SIZE, dtype=np.uint32)
         self._h_code = np.full(_HASH_SIZE, ESCAPE, dtype=np.uint8)
         self._h_len = np.zeros(_HASH_SIZE, dtype=np.uint8)
         self._t2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
@@ -107,8 +119,13 @@ class SymbolTable:
                 if self._h_len[slot] >= L:
                     self._dropped += 1
                     continue
-                self._h_div[slot] = np.uint64(1 << (8 * (8 - L)))
-                self._h_key[slot] = np.uint64(int.from_bytes(s, "big"))
+                padded = s + b"\x00" * (8 - L)
+                mhi = (0xFFFFFFFF << (8 * max(4 - L, 0))) & 0xFFFFFFFF
+                mlo = (0xFFFFFFFF << (8 * min(8 - L, 4))) & 0xFFFFFFFF
+                self._h_khi[slot] = int.from_bytes(padded[:4], "big") & mhi
+                self._h_klo[slot] = int.from_bytes(padded[4:], "big") & mlo
+                self._h_mhi[slot] = mhi
+                self._h_mlo[slot] = mlo
                 self._h_code[slot] = code
                 self._h_len[slot] = L
 
@@ -135,49 +152,73 @@ class SymbolTable:
         return cls(symbols), pos
 
 
-def _window_keys(data: np.ndarray) -> np.ndarray:
-    """uint64 big-endian 8-byte window starting at each position.
+def _half_keys(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Big-endian 8-byte window at each position as two uint32 halves
+    (bytes 0..3, bytes 4..7), zero-padded past the end.
 
-    Multiply-accumulate (8 vector ops) — no shifts, no (n,8) matrix.
-    """
+    One uint32 astype + 6 mul-adds over VIEWS of the padded array — no
+    uint64 arithmetic and no (n,8) matrix."""
     n = data.size
-    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
-    key = np.zeros(n, dtype=np.uint64)
-    p = np.uint64(1)
-    for j in range(7, -1, -1):
-        key += padded[j : j + n].astype(np.uint64) * p
-        if j:
-            p = p * np.uint64(256)
-    return key
-
-
-_D40 = np.uint64(1 << 40)
-_D48_ = np.uint64(1 << 48)
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)]).astype(np.uint32)
+    s256 = np.uint32(256)
+    hi = padded[0:n] * s256
+    hi += padded[1 : 1 + n]
+    hi *= s256
+    hi += padded[2 : 2 + n]
+    hi *= s256
+    hi += padded[3 : 3 + n]
+    lo = padded[4 : 4 + n] * s256
+    lo += padded[5 : 5 + n]
+    lo *= s256
+    lo += padded[6 : 6 + n]
+    lo *= s256
+    lo += padded[7 : 7 + n]
+    return hi, lo
 
 
 def _find_matches(table: SymbolTable, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position symbol match: (match_len, match_code); len 0 = none.
+    """Per-position symbol match: (match_len uint8, match_code uint8);
+    len 0 = none.
 
     Single hash probe for lengths 3..8 (slot by the first 3 bytes, full
-    key verified via one divide+compare), then direct len-2/len-1 tables
-    — ~6 gathers total instead of one pass per symbol length."""
+    key verified via two masked uint32 compares), then direct len-2/
+    len-1 tables — ~7 gathers total instead of one pass per symbol
+    length, and the hit lanes combine by disjoint-mask multiply-add
+    (uint8) instead of chained ``np.where`` (the wheres were ~26% of the
+    matcher wall on this host)."""
     n = data.size
     if n == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
-    key8 = _window_keys(data)
-    key3 = key8 // _D40
-    slot = _mix16(key3)
-    ln = table._h_len[slot].astype(np.int64)
-    hit3 = (ln > 0) & (key8 // table._h_div[slot] == table._h_key[slot])
-    rem = n - np.arange(n, dtype=np.int64)
-    hit3 &= ln <= rem
-    c2 = table._t2[key8 // _D48_]
-    hit2 = ~hit3 & (c2 != ESCAPE) & (rem >= 2)
-    c1 = table._t1[key3 // np.uint64(1 << 16)]
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint8)
+    hi, lo = _half_keys(data)
+    slot = _mix16(hi >> np.uint32(8))
+    ln8 = table._h_len[slot]
+    hit3 = (
+        (ln8 > 0)
+        & ((hi & table._h_mhi[slot]) == table._h_khi[slot])
+        & ((lo & table._h_mlo[slot]) == table._h_klo[slot])
+    )
+    c2 = table._t2[hi >> np.uint32(16)]
+    hit2 = ~hit3 & (c2 != ESCAPE)
+    c1 = table._t1[data]
     hit1 = ~hit3 & ~hit2 & (c1 != ESCAPE)
-    match_len = np.where(hit3, ln, np.where(hit2, 2, np.where(hit1, 1, 0)))
-    match_code = np.where(hit3, table._h_code[slot], np.where(hit2, c2, c1))
-    return match_len, match_code.astype(np.uint8)
+    # tail fix (last <=8 positions): the zero padding can fabricate a
+    # match for symbols with trailing NUL bytes, and len-2 needs 2 real
+    # bytes — mask any match longer than the remaining bytes
+    k = min(8, n)
+    tail_rem = (n - np.arange(n - k, n)).astype(np.uint8)
+    hit3[n - k :] &= ln8[n - k :] <= tail_rem
+    hit2[n - 1 :] = False
+    hit1[n - k :] |= (~hit3[n - k :]) & (~hit2[n - k :]) & (c1[n - k :] != ESCAPE)
+    h3 = hit3.view(np.uint8)
+    h2 = hit2.view(np.uint8)
+    h1 = hit1.view(np.uint8)
+    match_len = h3 * ln8
+    match_len += h2 + h2  # disjoint lanes: at most one term is nonzero
+    match_len += h1
+    match_code = h3 * table._h_code[slot]
+    match_code += h2 * c2
+    match_code += h1 * c1
+    return match_len, match_code
 
 
 _SEG = 1 << 17  # compress segment: keeps all matcher temporaries cache-resident
@@ -187,6 +228,21 @@ _BLOCK = 1 << 9  # parse-alignment block (must divide _SEG): many lockstep
 # escape) measured ~0.1-0.3% of output size, re-checked per column by the
 # post-codec probe gate
 _WALK_LOCKSTEP_MIN = 4096  # below this the scalar walk beats vector setup
+
+# reused per-process scratch (fresh multi-MB temporaries pay this host's
+# first-touch-fault tax on EVERY call; a ragged-gather np.repeat
+# compaction over fresh 24 MB temporaries measured 0.28 s/call vs ~0.01 s
+# for a reused broadcast-mask compaction of the same output)
+_BUFS: dict[str, np.ndarray] = {}
+_OFFS_W = np.arange(2 * _BLOCK, dtype=np.int64)
+
+
+def _scratch_buf(name: str, size: int, dtype) -> np.ndarray:
+    buf = _BUFS.get(name)
+    if buf is None or buf.size < size:
+        buf = np.empty(max(size, 1 << 20), dtype=dtype)
+        _BUFS[name] = buf
+    return buf[:size]
 
 
 def _walk_lockstep(
@@ -200,39 +256,35 @@ def _walk_lockstep(
     iteration — a handful of compacted numpy gathers per step, ~15
     element-ops per emitted token total.  This replaces the old
     pointer-doubling walk whose log2(path) full-array passes cost ~50
-    element-ops per input BYTE.  Two phases: count each block's output
-    bytes (so each block's tokens can be emitted straight into its final
-    output slice, no reordering sort), then emit."""
+    element-ops per input BYTE.  ONE traversal: each block emits into
+    its own 2*_BLOCK scratch slice (the worst case, all escapes), then a
+    broadcast-mask boolean compaction joins the slices — half the
+    gathers of the old count-then-emit two-phase walk, over reused
+    buffers (see ``_scratch_buf``)."""
     starts = np.arange(0, n, _BLOCK, dtype=np.int64)
     ends = np.minimum(starts + _BLOCK, n)
     m = starts.size
-    widths = np.zeros(m, dtype=np.int64)
+    w = 2 * _BLOCK
+    scratch = _scratch_buf("walk_scratch", m * w, np.uint8)
+    mask = _scratch_buf("walk_mask", m * w, bool).reshape(m, w)
+    base = np.arange(m, dtype=np.int64) * w
     pos = starts.copy()
-    ai = np.flatnonzero(pos < ends)
-    while ai.size:
-        p = pos[ai]
-        ln = lens[p].astype(np.int64)
-        esc = ln == 0
-        widths[ai] += 1 + esc
-        pos[ai] = p + np.where(esc, 1, ln)
-        ai = ai[pos[ai] < ends[ai]]
-    out_starts = np.concatenate(([0], np.cumsum(widths)))
-    outb = np.empty(int(out_starts[-1]), dtype=np.uint8)
-    pos = starts.copy()
-    cur = out_starts[:-1].copy()
+    cur = base.copy()
     ai = np.flatnonzero(pos < ends)
     while ai.size:
         p = pos[ai]
         ln = lens[p].astype(np.int64)
         esc = ln == 0
         c = cur[ai]
-        outb[c] = np.where(esc, np.uint8(ESCAPE), codes[p])
+        scratch[c] = np.where(esc, np.uint8(ESCAPE), codes[p])
         if esc.any():
-            outb[c[esc] + 1] = arr[p[esc]]
+            scratch[c[esc] + 1] = arr[p[esc]]
         cur[ai] = c + 1 + esc
         pos[ai] = p + np.where(esc, 1, ln)
         ai = ai[pos[ai] < ends[ai]]
-    return outb.tobytes()
+    widths = cur - base
+    np.less(_OFFS_W[None, :], widths[:, None], out=mask)
+    return scratch[mask.reshape(-1)].tobytes()
 
 
 def compress(data: bytes, table: SymbolTable) -> bytes:
