@@ -51,10 +51,17 @@ def _burn(q, barrier, reps):
     table = pages_mod.generate(8_000, seed=7, row_offset=0)
     stripe_mod.encode_stripe(table, codec="zstd")  # warm (imports, pools)
     barrier.wait()
+    u0 = os.times()
     t0 = time.perf_counter()
     for _ in range(reps):
         stripe_mod.encode_stripe(table, codec="zstd")
-    q.put(reps / (time.perf_counter() - t0))
+    wall = time.perf_counter() - t0
+    u1 = os.times()
+    # (wall rate, user core-s, encodes): user time is storm-insensitive —
+    # fault service is SYSTEM time and descheduling doesn't tick either —
+    # so user-s/encode at N vs 4N lanes isolates the bandwidth/SMT
+    # contention a "hardware ceiling" is supposed to mean
+    q.put((reps / wall, u1.user - u0.user, reps))
 
 
 def _median(xs: list[float]) -> float:
@@ -62,39 +69,56 @@ def _median(xs: list[float]) -> float:
     return s[len(s) // 2]
 
 
-def cpu_ceiling(n: int, n4: int, reps: int = 3, probe_reps: int = 3) -> tuple[float, list[float]]:
+def cpu_ceiling(
+    n: int, n4: int, reps: int = 3, probe_reps: int = 3
+) -> tuple[float, list[float], float, list[float]]:
     """Hardware scaling ceiling: aggregate ratio of the encode kernel
     itself run in N vs 4N concurrent processes (no Spark).  This is the
     best ANY scheduler could do for this workload on this box.
 
     ``probe_reps`` INTERLEAVED repetitions per leg (N, 4N, N, 4N, ...).
-    The headline efficiency uses the BEST aggregate per leg across reps:
-    a ceiling is a capability, and this VM's fault-storm bursts only
-    SUBTRACT from a leg's measured rate — per-rep pairwise efficiencies
-    spread 0.15-1.7 when one leg of one pair eats a burst (measured in
-    scaling_r5_window1), wider than the claim the probe gates, while
-    max-per-leg converges as soon as each leg gets one storm-free rep.
-    Returns (best-leg efficiency, per-rep pairwise efficiencies) so the
-    record still carries the raw spread as storm evidence."""
+    TWO ceilings come out:
 
-    def agg(nproc: int) -> float:
+    - wall ceiling (best aggregate rate per leg across reps): a ceiling
+      is a capability and storm bursts only SUBTRACT from a leg's rate —
+      but one leg can eat a storm in ALL reps (r5 window-1 best-per-leg
+      measured 1.10, i.e. super-linear nonsense), so wall stays
+      evidence, not the gate.
+    - user-CPU ceiling (median across reps of user-core-s/encode at N
+      over at 4N): fault service is system time and descheduling ticks
+      neither, so user time per encode is storm-INSENSITIVE while still
+      counting memory-stall cycles — exactly the bandwidth/SMT
+      contention a hardware ceiling means.  In a CPU-bound regime
+      throughput = lanes/user_per_unit, so eff = u_N / u_4N.
+
+    Returns (wall eff, wall per-rep effs, user eff, user per-rep effs)."""
+
+    def agg(nproc: int) -> tuple[float, float]:
         q = mp.Queue()
         barrier = mp.Barrier(nproc)
         ps = [mp.Process(target=_burn, args=(q, barrier, reps)) for _ in range(nproc)]
         for p in ps:
             p.start()
-        rates = [q.get() for _ in range(nproc)]
+        vals = [q.get() for _ in range(nproc)]
         for p in ps:
             p.join()
-        return sum(rates)
+        rate = sum(v[0] for v in vals)
+        user_per = sum(v[1] for v in vals) / sum(v[2] for v in vals)
+        return rate, user_per
 
-    a_ns, a_4ns, effs = [], [], []
+    a_ns, a_4ns, effs, u_effs = [], [], [], []
     for _ in range(probe_reps):
-        a_n, a_4n = agg(n), agg(n4)
+        (a_n, u_n), (a_4n, u_4n) = agg(n), agg(n4)
         a_ns.append(a_n)
         a_4ns.append(a_4n)
         effs.append((a_4n / a_n) / (n4 / n))
-    return (max(a_4ns) / max(a_ns)) / (n4 / n), [round(e, 4) for e in effs]
+        u_effs.append(u_n / u_4n)
+    return (
+        (max(a_4ns) / max(a_ns)) / (n4 / n),
+        [round(e, 4) for e in effs],
+        _median(u_effs),
+        [round(e, 4) for e in u_effs],
+    )
 
 
 def _fault(q, barrier, mb):
@@ -138,6 +162,42 @@ def fault_ceiling(n: int, n4: int, mb: int = 256, probe_reps: int = 3) -> tuple[
         a_4ns.append(a_4n)
         effs.append((a_4n / a_n) / (n4 / n))
     return (max(a_4ns) / max(a_ns)) / (n4 / n), [round(e, 4) for e in effs]
+
+
+def _tree_cpu() -> tuple[float, float]:
+    """(user, system) core-seconds of this process plus all LIVE
+    descendants (the local-mode JVM and its reused Python workers), read
+    from /proc.  Diffing two samples around a Spark job gives the job's
+    user/system CPU split: user time is storm-insensitive (fault service
+    is system time; descheduling ticks neither), so a user-CPU-based
+    stage efficiency survives windows that poison the wall numbers.
+    Requires spark.python.worker.reuse=true — dead children's time folds
+    into the parent only after wait(), which reuse avoids mid-session."""
+    import glob as _glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid: dict[int, int] = {}
+    times: dict[int, tuple[int, int]] = {}
+    for st in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(st) as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            pid = int(st.split("/")[2])
+            ppid[pid] = int(rest[1])
+            times[pid] = (int(rest[11]), int(rest[12]))
+        except (OSError, ValueError, IndexError):
+            continue
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid.items():
+            if pp in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    u = sum(times[p][0] for p in mine if p in times)
+    s = sum(times[p][1] for p in mine if p in times)
+    return u / hz, s / hz
 
 
 def _session(cpus: int):
@@ -205,6 +265,7 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
 
     job_walls, stage_walls, floor_walls = [], [], []
     inp_walls, pys_walls, hash_floor_walls = [], [], []
+    stage_users, stage_syss = [], []
     fn = encode_job._encode_partition_factory("zstd", None, "scale")
     for r in range(RUNS + 1):  # first run warms workers, untimed
         # full job, hash strategy (one full shuffle — local-mode shuffle
@@ -255,11 +316,14 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
         shutil.rmtree(pys_dir, ignore_errors=True)
         # encode stage only: pre-staged input, no shuffle, count-only sink
         pre = spark.read.parquet(staged_path)
+        cpu0 = _tree_cpu()
         t0 = time.perf_counter()
         pre.mapInArrow(fn, schema=encode_job.STREAMS_SCHEMA).select(
             F.sum(F.octet_length("data"))
         ).collect()
         w_stage = time.perf_counter() - t0
+        cpu1 = _tree_cpu()
+        stage_u, stage_s = cpu1[0] - cpu0[0], cpu1[1] - cpu0[1]
         # no-op floor: identical scan + Arrow transfer + Python round
         # trip, kernel replaced by a count
         t0 = time.perf_counter()
@@ -272,9 +336,12 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
             stage_walls.append(w_stage)
             floor_walls.append(w_floor)
             hash_floor_walls.append(w_hash_floor)
+            stage_users.append(stage_u)
+            stage_syss.append(stage_s)
     spark.stop()
     return (min(job_walls), min(inp_walls), min(pys_walls),
-            min(stage_walls), min(floor_walls), min(hash_floor_walls))
+            min(stage_walls), min(floor_walls), min(hash_floor_walls),
+            _median(stage_users), _median(stage_syss))
 
 
 def main() -> None:
@@ -294,14 +361,16 @@ def main() -> None:
         import bench as bench_mod
 
         canary = [bench_mod.host_canary_seconds()]
-        ceiling, ceiling_reps = cpu_ceiling(n, n4)
+        ceiling, ceiling_reps, u_ceiling, u_ceiling_reps = cpu_ceiling(n, n4)
         f_ceiling, f_ceiling_reps = fault_ceiling(n, n4)
         n_stripes = max(n4 * 4, 32)
         staged_path = os.path.join(CACHE, f"staged_{n_rows}_{n_stripes}.parquet")
         raw_bytes: list = []
-        j_n, ji_n, jp_n, s_n, f_n, hf_n = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
+        (j_n, ji_n, jp_n, s_n, f_n, hf_n,
+         su_n, ss_n) = measure(n, n_stripes, n_rows, staged_path, raw_bytes)
         canary.append(bench_mod.host_canary_seconds())
-        j_4n, ji_4n, jp_4n, s_4n, f_4n, hf_4n = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
+        (j_4n, ji_4n, jp_4n, s_4n, f_4n, hf_4n,
+         su_4n, ss_4n) = measure(n4, n_stripes, n_rows, staged_path, raw_bytes)
         canary.append(bench_mod.host_canary_seconds())
         raw = raw_bytes[0]
         speedup = n4 / n
@@ -372,9 +441,33 @@ def main() -> None:
             "hardware_ceiling_efficiency": round(ceiling, 4),
             "hardware_ceiling_reps": ceiling_reps,
             "hardware_ceiling_spread": round(max(ceiling_reps) - min(ceiling_reps), 4),
+            # user-CPU ceiling: storm-insensitive contention measure (see
+            # cpu_ceiling docstring) — the reproducible denominator for
+            # the vs-ceiling claim; the wall ceiling above stays as
+            # evidence (its spread IS the storm record)
+            "hardware_ceiling_user_efficiency": round(u_ceiling, 4),
+            "hardware_ceiling_user_reps": u_ceiling_reps,
+            "hardware_ceiling_user_spread": round(
+                max(u_ceiling_reps) - min(u_ceiling_reps), 4
+            ),
             "fault_path_ceiling_efficiency": round(f_ceiling, 4),
             "fault_path_ceiling_reps": f_ceiling_reps,
             "stage_efficiency_vs_ceiling": round((s_n / s_4n) / speedup / ceiling, 4),
+            "stage_efficiency_vs_user_ceiling": round(
+                (s_n / s_4n) / speedup / u_ceiling, 4
+            ),
+            # stage legs' process-tree CPU split (median across runs):
+            # user core-s is storm-insensitive, so stage_user_efficiency
+            # = u_N/u_4N is the engine's contention-limited scaling, and
+            # (stage_efficiency / stage_user_efficiency) quantifies how
+            # much of the wall shortfall is fault/system/idle, not engine
+            "stage_user_core_s_n": round(su_n, 2),
+            "stage_sys_core_s_n": round(ss_n, 2),
+            "stage_user_core_s_4n": round(su_4n, 2),
+            "stage_sys_core_s_4n": round(ss_4n, 2),
+            "stage_user_efficiency": (
+                round(su_n / su_4n, 4) if su_n > 0 and su_4n > 0 else None
+            ),
         }
         results.append(rec)
         print(json.dumps(rec))
@@ -394,9 +487,22 @@ def summarize() -> None:
     fields = [
         "job_input_efficiency", "job_pyscan_efficiency", "stage_efficiency",
         "hardware_ceiling_efficiency", "hardware_ceiling_spread",
-        "stage_efficiency_vs_ceiling", "job_input_efficiency_vs_ceiling",
+        "hardware_ceiling_user_efficiency", "hardware_ceiling_user_spread",
+        "stage_efficiency_vs_ceiling", "stage_efficiency_vs_user_ceiling",
+        "stage_user_efficiency", "job_input_efficiency_vs_ceiling",
         "hash_shuffle_efficiency", "hash_encode_net_efficiency",
     ]
+    # subtraction-based net efficiencies from records that predate the
+    # storm-inversion null guard can carry fabricated huge ratios
+    # (scaling_r5_window2: 2.5e9 from a clamped divisor); apply the same
+    # guard on read so the summary never surfaces them as numbers
+    _net = {"hash_encode_net_efficiency", "net_efficiency"}
+
+    def _san(field: str, v):
+        if field in _net and isinstance(v, (int, float)) and not (0 < v < 10):
+            return None
+        return v
+
     rows = []
     for p in sorted(glob.glob("BENCH/scaling_r5_window*.json")):
         for rec in json.load(open(p)):
@@ -406,17 +512,23 @@ def summarize() -> None:
     for name, rec in rows:
         out["records"].append(
             {"file": name, "canary": rec["host_canary_s"],
-             **{f: rec.get(f) for f in fields}}
+             **{f: _san(f, rec.get(f)) for f in fields}}
         )
-    vals = [r["stage_efficiency_vs_ceiling"] for _, r in rows
-            if isinstance(r.get("stage_efficiency_vs_ceiling"), (int, float))]
-    if len(vals) >= 3:
-        last3 = vals[-3:]
-        out["last3_stage_eff_vs_ceiling"] = last3
-        out["last3_agree_within_0p05"] = max(last3) - min(last3) <= 0.05
-    else:
-        out["last3_agree_within_0p05"] = None
-        out["n_records"] = len(vals)
+    # agreement is gated on the storm-insensitive user-ceiling ratio when
+    # >=3 records carry it; the wall-ceiling ratio is reported alongside
+    # for continuity with the earlier records
+    for key, label in [
+        ("stage_efficiency_vs_user_ceiling", "last3_stage_eff_vs_user_ceiling"),
+        ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling"),
+    ]:
+        vals = [r[key] for _, r in rows if isinstance(r.get(key), (int, float))]
+        if len(vals) >= 3:
+            last3 = vals[-3:]
+            out[label] = last3
+            out[label + "_agree_0p05"] = max(last3) - min(last3) <= 0.05
+        else:
+            out[label + "_agree_0p05"] = None
+            out[label + "_n_records"] = len(vals)
     print(json.dumps(out, indent=1))
 
 
