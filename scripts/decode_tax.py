@@ -121,7 +121,7 @@ def main():
     for k, v in walls.items():
         out[f"{k}_walls"] = [round(x, 3) for x in v]
         out[f"{k}_med"] = round(med(v), 3)
-    pool_walls = bench._pool_decode_walls(xl_ours, CPUS, rounds=3)
+    pool_walls, _ = bench._pool_decode_walls(xl_ours, CPUS, rounds=3)
     out["pool_walls"] = [round(x, 3) for x in pool_walls]
     out["pool_med"] = round(med(pool_walls), 3)
     out["canary_end"] = bench.host_canary_seconds()

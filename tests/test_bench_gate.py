@@ -45,3 +45,61 @@ def test_missing_cpu_keys_fall_back_to_canaries_only():
     assert bench._record_is_clean({"host_canary_s": [1.0, 2.0]})
     assert not bench._record_is_clean({"host_canary_s": [1.0, 9.5]})
     assert not bench._record_is_clean({})
+
+
+# ---- per-field surgical gate (_field_is_clean) -----------------------------
+
+
+def _ratio_rec(pyscan_sys=5.0, ref_sys=1.0, pyscan_gbps=1.2, ref_gbps=2.0):
+    return {
+        "pyscan_core_s_per_gib_xl": 11.0 + pyscan_sys,
+        "pyscan_user_core_s_per_gib_xl": 11.0,
+        "ref_core_s_per_gib_xl": 11.0 + ref_sys,
+        "ref_user_core_s_per_gib_xl": 11.0,
+        "encode_gbps_pyscan_xl": pyscan_gbps,
+        "ref_gbps_xl": ref_gbps,
+        "pyscan_vs_reference_wall_xl": ref_gbps / pyscan_gbps,
+    }
+
+
+def test_field_gate_salvages_clean_leg_from_stormy_record():
+    # window-3 shape: record-level gate fails (mid canary), pyscan leg clean
+    r = _ratio_rec()
+    bests = {"pyscan": 1.2, "ref": 2.0}
+    assert bench._field_is_clean(r, "encode_gbps_pyscan_xl", False, bests)
+
+
+def test_field_gate_excludes_ratio_when_either_legs_sys_storms():
+    bests = {"pyscan": 1.2, "ref": 2.0}
+    r = _ratio_rec(ref_sys=24.3)  # window-3's stormed reference writer
+    assert not bench._field_is_clean(r, "pyscan_vs_reference_wall_xl", True, bests)
+    r = _ratio_rec(pyscan_sys=55.0)  # our side storms: same exclusion
+    assert not bench._field_is_clean(r, "pyscan_vs_reference_wall_xl", True, bests)
+
+
+def test_field_gate_rate_sanity_catches_sys_invisible_degradation():
+    # window-2 shape: reference writer at 25% of its cross-window best
+    # with LOW sys - flattering ratio must still be excluded
+    r = _ratio_rec(ref_sys=3.5, ref_gbps=0.505)
+    bests = {"pyscan": 1.2, "ref": 2.0}
+    assert not bench._field_is_clean(r, "pyscan_vs_reference_wall_xl", True, bests)
+    # side-blind: OUR leg degraded sys-invisibly -> same exclusion
+    r = _ratio_rec(pyscan_gbps=0.3)
+    assert not bench._field_is_clean(r, "pyscan_vs_reference_wall_xl", True, bests)
+
+
+def test_field_gate_falls_back_to_record_gate_without_leg_data():
+    assert bench._field_is_clean({}, "pyscan_vs_reference_wall_xl", True, {})
+    assert not bench._field_is_clean({}, "pyscan_vs_reference_wall_xl", False, {})
+    # field with no declared legs: always the record gate
+    assert bench._field_is_clean(_ratio_rec(), "size_vs_reference", True, {})
+    assert not bench._field_is_clean(_ratio_rec(), "size_vs_reference", False, {})
+
+
+def test_window_medians_counts_per_field_windows():
+    out = bench.window_medians({})
+    # every median must carry its window count and a range
+    for k in list(out):
+        if k.endswith("_median"):
+            base = k[: -len("_median")]
+            assert f"{base}_windows" in out and f"{base}_range" in out
