@@ -13,7 +13,22 @@ LOG=/tmp/healthy_bench.log
 LOCK=/tmp/sparc_bench.lock
 WIN=${WINDOW_START:-2}
 SWIN=${SCALING_WINDOW_START:-1}
+# capture schedule: consume PLAN left-to-right (one entry per landed
+# capture), then fall back to strict alternation.  Lets a session that
+# still needs 3 consecutive clean scaling records (the vs-ceiling
+# agreement claim) weight the plan toward scaling without editing the
+# loop body.
+PLAN=${PLAN:-}
 NEXT=bench
+advance() {
+  if [ -n "$PLAN" ]; then
+    NEXT=${PLAN%% *}
+    [ "$PLAN" = "${PLAN#* }" ] && PLAN="" || PLAN=${PLAN#* }
+  else
+    [ "$1" = bench ] && NEXT=scaling || NEXT=bench
+  fi
+}
+advance scaling
 START_TS=$(date +%s)
 echo "watcher start $(date) thresh=$THRESH" >> "$LOG"
 
@@ -66,7 +81,7 @@ while true; do
           cp /tmp/bench_healthy.json "BENCH/bench_r5_window${WIN}.json"
           echo "bench recorded window${WIN} $(date +%T)" >> "$LOG"
           WIN=$((WIN + 1))
-          NEXT=scaling
+          advance bench
         fi
       else
         echo "healthy window - running scaling $(date +%T)" >> "$LOG"
@@ -93,7 +108,7 @@ sys.exit(0 if all(max(r['host_canary_s']) < 8.0 for r in recs) else 1)"; then
               "BENCH/scaling_r5_storm_$(date +%H%M).json"
             echo "scaling kept as storm record $(date +%T)" >> "$LOG"
           fi
-          NEXT=bench
+          advance scaling
         fi
       fi
       rmdir "$LOCK" 2>/dev/null || rm -rf "$LOCK"
