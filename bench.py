@@ -197,6 +197,33 @@ def _pool_decode_unit(args):
     return total, rows
 
 
+def _pool_reps(run_once, rounds: int, max_rounds: int = 8):
+    """Adaptive repetition for the pool probes.  A ceiling probe measures
+    a CAPABILITY: this VM's fault storms only subtract from a rep's rate,
+    and a storm burst can span all of a fixed 3-rep series (r5 windows
+    1-3 recorded decode_pool at 0.85-2.96 GB/s while the same probe hit
+    7.7 GB/s seconds after the storm passed).  Reps are cheap (0.1-1.5 s)
+    so keep measuring past ``rounds`` until the two fastest walls agree
+    within 5 % (the series stopped improving — we're at the floor, not
+    riding a storm's decay), up to ``max_rounds``.  Returns (walls, syss)
+    plus whatever extra per-rep payload ``run_once`` yields."""
+    walls, syss, extra = [], [], None
+    for _ in range(max_rounds):
+        _, s0 = proc_tree_cpu_split()
+        t0 = time.perf_counter()
+        extra = run_once()
+        walls.append(time.perf_counter() - t0)
+        _, s1 = proc_tree_cpu_split()
+        syss.append(s1 - s0)
+        if len(walls) >= rounds:
+            best, second = sorted(walls)[:2]
+            # absolute 10 ms floor: relative agreement is meaningless at
+            # sub-scheduler-tick walls (real pool reps run 0.05-1.5 s)
+            if second <= best * 1.05 + 0.01:
+                break
+    return walls, syss, extra
+
+
 _POOL_ENC_TABLES: list = []
 
 
@@ -233,23 +260,20 @@ def _pool_encode_walls(
             pages_mod.generate(min(per, n_rows - off), seed=42, row_offset=off)
         )
     units = [(i, fsst) for i in range(len(_POOL_ENC_TABLES))]
-    walls, syss = [], []
     try:
         with mp.Pool(nproc) as pool:
-            sizes = pool.map(_pool_encode_unit, units)  # warm: imports + faults
-            for _ in range(rounds):
-                _, s0 = proc_tree_cpu_split()
-                t0 = time.perf_counter()
-                sizes = pool.map(_pool_encode_unit, units)
-                walls.append(time.perf_counter() - t0)
-                _, s1 = proc_tree_cpu_split()
-                syss.append(s1 - s0)
+            pool.map(_pool_encode_unit, units)  # warm: imports + faults
+            walls, syss, sizes = _pool_reps(
+                lambda: pool.map(_pool_encode_unit, units), rounds
+            )
     finally:
         _POOL_ENC_TABLES.clear()
     return walls, sum(sizes), syss
 
 
-def _pool_decode_walls(streams_dir: str, nproc: int, rounds: int = 3) -> list[float]:
+def _pool_decode_walls(
+    streams_dir: str, nproc: int, rounds: int = 3
+) -> tuple[list[float], list[float]]:
     import multiprocessing as mp
 
     from sparc.job import decode_job
@@ -257,16 +281,11 @@ def _pool_decode_walls(streams_dir: str, nproc: int, rounds: int = 3) -> list[fl
     paths = decode_job._manifest_paths(streams_dir)
     n_shards = max(1, -(-nproc // max(len(paths), 1)))
     units = [(p, s, n_shards, streams_dir) for p in paths for s in range(n_shards)]
-    walls, syss = [], []
     with mp.Pool(nproc) as pool:
         pool.map(_pool_decode_unit, units)  # warm (imports, page cache)
-        for _ in range(rounds):
-            _, s0 = proc_tree_cpu_split()
-            t0 = time.perf_counter()
-            pool.map(_pool_decode_unit, units)
-            walls.append(time.perf_counter() - t0)
-            _, s1 = proc_tree_cpu_split()
-            syss.append(s1 - s0)
+        walls, syss, _ = _pool_reps(
+            lambda: pool.map(_pool_decode_unit, units), rounds
+        )
     return walls, syss
 
 
@@ -426,11 +445,40 @@ def _leg_sys(r: dict, leg: str):
     return None
 
 
-def _leg_bests(recs: list) -> dict:
-    """Best (max) wall-derived rate per leg across the round's records."""
+# Legs whose probe protocol is unchanged since round 4 (the pool probes:
+# identical per-stripe work, raw/min-wall — commits cbb67d3/bf18d81), so
+# round-4 window records are valid capability evidence for the rate-sanity
+# rule.  The XL A/B legs are NOT listed: their fields changed meaning at
+# ratio_protocol 2 and are only comparable within the round.
+_CROSS_ROUND_RATE_LEGS = frozenset({"decode_pool", "encode_pool"})
+
+
+def _prior_round_recs(bench_dir: str = "BENCH") -> list:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = []
+    for p in sorted(glob.glob(os.path.join(here, bench_dir, "bench_r4_window*.json"))):
+        try:
+            with open(p) as f:
+                recs.append(json.load(f))
+        except Exception:
+            continue
+    return recs
+
+
+def _leg_bests(recs: list, prior_recs: list = ()) -> dict:
+    """Best (max) wall-derived rate per leg across the round's records.
+    A storm can only subtract from a leg's rate, so the max IS the leg's
+    capability.  Protocol-stable legs (_CROSS_ROUND_RATE_LEGS) also draw
+    on the prior round's records: r5 windows 1-3 were ALL storm-degraded
+    on the pool probes (decode 0.85-2.96 GB/s vs 12-14.6 in clean round-4
+    windows), so a within-round best would let degraded values pass the
+    50 % rate-sanity gate unchallenged."""
     bests: dict = {}
     for leg, rf in _LEG_RATE_FIELD.items():
-        vals = [r[rf] for r in recs if isinstance(r.get(rf), (int, float))]
+        pool = list(recs) + (list(prior_recs) if leg in _CROSS_ROUND_RATE_LEGS else [])
+        vals = [r[rf] for r in pool if isinstance(r.get(rf), (int, float))]
         if vals:
             bests[leg] = max(vals)
     return bests
@@ -492,7 +540,7 @@ def window_medians(current: dict, bench_dir: str = "BENCH") -> dict:
         "window_clean_sys_core_s": _CLEAN_SYS_CORE_S,
         "field_leg_sys_ceilings": _LEG_SYS_CEIL,
     }
-    bests = _leg_bests(recs)
+    bests = _leg_bests(recs, _prior_round_recs(bench_dir))
     for field in _WINDOW_FIELDS:
         vals = [
             r[field]

@@ -103,3 +103,53 @@ def test_window_medians_counts_per_field_windows():
         if k.endswith("_median"):
             base = k[: -len("_median")]
             assert f"{base}_windows" in out and f"{base}_range" in out
+
+
+# ---- cross-round capability baseline for protocol-stable legs --------------
+
+
+def test_pool_leg_bests_draw_on_prior_round_records():
+    # All of this round's pool captures storm-degraded (the r5 window 1-3
+    # shape): the prior round's clean capture must set the capability, so
+    # the 50% rate-sanity rule excludes the degraded values.
+    cur = [{"decode_pool_gbps": 2.9}, {"decode_pool_gbps": 1.6}]
+    prior = [{"decode_pool_gbps": 14.6, "ref_gbps_xl": 9.9}]
+    bests = bench._leg_bests(cur, prior)
+    assert bests["decode_pool"] == 14.6
+    # XL A/B legs changed protocol at ratio_protocol 2: prior-round values
+    # must NOT leak into their baselines
+    assert "ref" not in bests
+    for r in cur:
+        r["decode_pool_sys_core_s_per_gib"] = 2.0
+        assert not bench._field_is_clean(r, "decode_pool_gbps", True, bests)
+    clean = {"decode_pool_gbps": 8.0, "decode_pool_sys_core_s_per_gib": 2.0}
+    assert bench._field_is_clean(clean, "decode_pool_gbps", True, bests)
+
+
+# ---- adaptive pool reps (_pool_reps) ----------------------------------------
+
+
+def test_pool_reps_stops_when_two_best_walls_agree():
+    calls = []
+
+    def run_once():
+        calls.append(1)
+        return len(calls)
+
+    walls, syss, extra = bench._pool_reps(run_once, rounds=3)
+    # identical near-zero walls agree immediately after the minimum rounds
+    assert len(walls) == 3 and len(syss) == 3 and extra == 3
+
+
+def test_pool_reps_keeps_measuring_while_walls_improve():
+    import time as _t
+
+    durations = iter([0.30, 0.20, 0.12, 0.08, 0.05, 0.05, 0.05, 0.05])
+
+    def run_once():
+        _t.sleep(next(durations))
+
+    walls, _, _ = bench._pool_reps(run_once, rounds=3, max_rounds=8)
+    # a storm-decay series (each rep faster) must not stop at 3 reps
+    assert len(walls) >= 5
+    assert min(walls) < 0.08
