@@ -503,32 +503,52 @@ def summarize() -> None:
             return None
         return v
 
+    # Clean-window captures gate the WALL-based claims.  Storm-window
+    # captures (scaling_r5_storm_*/manual_*) additionally feed the
+    # USER-ceiling agreement: user CPU per encode is storm-insensitive by
+    # construction (fault service is system time, descheduling ticks
+    # neither), so a record whose walls are storm-degraded still carries
+    # a valid u_N/u_4N ratio — that insensitivity is exactly the claim
+    # the 3-record agreement is meant to bank.
+    paths = [
+        (p, True) for p in glob.glob("BENCH/scaling_r5_window*.json")
+    ] + [
+        (p, False)
+        for pat in ("BENCH/scaling_r5_storm_*.json", "BENCH/scaling_r5_manual_*.json")
+        for p in glob.glob(pat)
+    ]
+    paths.sort(key=lambda pc: os.path.getmtime(pc[0]))  # chronological
     rows = []
-    for p in sorted(glob.glob("BENCH/scaling_r5_window*.json")):
+    for p, clean in paths:
         for rec in json.load(open(p)):
             if rec.get("pair", "").endswith("local[32]"):
-                rows.append((p.split("/")[-1], rec))
+                rows.append((p.split("/")[-1], rec, clean))
     out: dict = {"records": []}
-    for name, rec in rows:
+    for name, rec, clean in rows:
         out["records"].append(
-            {"file": name, "canary": rec["host_canary_s"],
+            {"file": name, "clean_window": clean,
+             "canary": rec["host_canary_s"],
              **{f: _san(f, rec.get(f)) for f in fields}}
         )
     # agreement is gated on the storm-insensitive user-ceiling ratio when
-    # >=3 records carry it; the wall-ceiling ratio is reported alongside
-    # for continuity with the earlier records
-    for key, label in [
-        ("stage_efficiency_vs_user_ceiling", "last3_stage_eff_vs_user_ceiling"),
-        ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling"),
+    # >=3 records carry it (clean AND storm records — see above); the
+    # wall-ceiling ratio uses clean windows only
+    for key, label, want_clean in [
+        ("stage_efficiency_vs_user_ceiling",
+         "last3_stage_eff_vs_user_ceiling", False),
+        ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling", True),
     ]:
-        vals = [r[key] for _, r in rows if isinstance(r.get(key), (int, float))]
+        vals = [
+            r[key] for _, r, clean in rows
+            if isinstance(r.get(key), (int, float)) and (clean or not want_clean)
+        ]
         if len(vals) >= 3:
             last3 = vals[-3:]
             out[label] = last3
             out[label + "_agree_0p05"] = max(last3) - min(last3) <= 0.05
         else:
             out[label + "_agree_0p05"] = None
-            out[label + "_n_records"] = len(vals)
+        out[label + "_n_records"] = len(vals)
     print(json.dumps(out, indent=1))
 
 
