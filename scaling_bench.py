@@ -525,15 +525,30 @@ def summarize() -> None:
                 rows.append((p.split("/")[-1], rec, clean))
     out: dict = {"records": []}
     for name, rec, clean in rows:
-        out["records"].append(
-            {"file": name, "clean_window": clean,
-             "canary": rec["host_canary_s"],
-             **{f: _san(f, rec.get(f)) for f in fields}}
+        row = {"file": name, "clean_window": clean,
+               "canary": rec["host_canary_s"],
+               **{f: _san(f, rec.get(f)) for f in fields}}
+        # derived: the FULLY storm-insensitive scaling ratio — engine
+        # user-CPU scaling over the kernel's user-CPU ceiling.  The
+        # stored stage_efficiency_vs_user_ceiling has a wall numerator,
+        # so it still moves with storms; u/u is the number that can
+        # agree across storm-varied records.
+        su, uc = rec.get("stage_user_efficiency"), rec.get(
+            "hardware_ceiling_user_efficiency")
+        row["stage_user_eff_vs_user_ceiling"] = (
+            round(su / uc, 4)
+            if isinstance(su, (int, float)) and isinstance(uc, (int, float))
+            and uc > 0 else None
         )
+        rec["stage_user_eff_vs_user_ceiling"] = row[
+            "stage_user_eff_vs_user_ceiling"]
+        out["records"].append(row)
     # agreement is gated on the storm-insensitive user-ceiling ratio when
     # >=3 records carry it (clean AND storm records — see above); the
     # wall-ceiling ratio uses clean windows only
     for key, label, want_clean in [
+        ("stage_user_eff_vs_user_ceiling",
+         "last3_stage_user_eff_vs_user_ceiling", False),
         ("stage_efficiency_vs_user_ceiling",
          "last3_stage_eff_vs_user_ceiling", False),
         ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling", True),
