@@ -84,12 +84,17 @@ def cpu_ceiling(
       but one leg can eat a storm in ALL reps (r5 window-1 best-per-leg
       measured 1.10, i.e. super-linear nonsense), so wall stays
       evidence, not the gate.
-    - user-CPU ceiling (median across reps of user-core-s/encode at N
-      over at 4N): fault service is system time and descheduling ticks
-      neither, so user time per encode is storm-INSENSITIVE while still
-      counting memory-stall cycles — exactly the bandwidth/SMT
-      contention a hardware ceiling means.  In a CPU-bound regime
-      throughput = lanes/user_per_unit, so eff = u_N / u_4N.
+    - user-CPU ceiling (BEST user-core-s/encode per leg across reps,
+      ratioed): fault service is system time and descheduling ticks
+      neither, so user time per encode resists storms — but it is not
+      storm-PROOF: a storm's bandwidth pressure inflates memory-stall
+      cycles, which DO tick user time (measured: 8→32 user-eff reps
+      [0.97, 0.38, 0.34] in a window whose mid canary read 13.3 s — two
+      reps ate the storm at the 32 leg).  Storms only ADD stalls, so the
+      per-leg MINIMUM user/encode is the capability, same best-per-leg
+      logic as the wall ceiling; the per-rep ratio list stays in the
+      record as the storm evidence.  In a CPU-bound regime throughput =
+      lanes/user_per_unit, so eff = u_N / u_4N.
 
     Returns (wall eff, wall per-rep effs, user eff, user per-rep effs)."""
 
@@ -106,17 +111,19 @@ def cpu_ceiling(
         user_per = sum(v[1] for v in vals) / sum(v[2] for v in vals)
         return rate, user_per
 
-    a_ns, a_4ns, effs, u_effs = [], [], [], []
+    a_ns, a_4ns, u_ns, u_4ns, effs, u_effs = [], [], [], [], [], []
     for _ in range(probe_reps):
         (a_n, u_n), (a_4n, u_4n) = agg(n), agg(n4)
         a_ns.append(a_n)
         a_4ns.append(a_4n)
+        u_ns.append(u_n)
+        u_4ns.append(u_4n)
         effs.append((a_4n / a_n) / (n4 / n))
         u_effs.append(u_n / u_4n)
     return (
         (max(a_4ns) / max(a_ns)) / (n4 / n),
         [round(e, 4) for e in effs],
-        _median(u_effs),
+        min(u_ns) / min(u_4ns),
         [round(e, 4) for e in u_effs],
     )
 
@@ -339,9 +346,14 @@ def measure(cpus: int, n_stripes: int, n_rows: int, staged_path: str,
             stage_users.append(stage_u)
             stage_syss.append(stage_s)
     spark.stop()
+    # stage user/sys from the min-WALL rep: stage_efficiency is built
+    # from the min walls, so the CPU split must come from the same reps
+    # (a storm-hit rep's inflated user time paired with another rep's
+    # clean wall would mix provenances)
+    k = min(range(len(stage_walls)), key=lambda i: stage_walls[i])
     return (min(job_walls), min(inp_walls), min(pys_walls),
             min(stage_walls), min(floor_walls), min(hash_floor_walls),
-            _median(stage_users), _median(stage_syss))
+            stage_users[k], stage_syss[k])
 
 
 def main() -> None:
@@ -456,7 +468,7 @@ def main() -> None:
             "stage_efficiency_vs_user_ceiling": round(
                 (s_n / s_4n) / speedup / u_ceiling, 4
             ),
-            # stage legs' process-tree CPU split (median across runs):
+            # stage legs' process-tree CPU split (min-wall rep):
             # user core-s is storm-insensitive, so stage_user_efficiency
             # = u_N/u_4N is the engine's contention-limited scaling, and
             # (stage_efficiency / stage_user_efficiency) quantifies how
