@@ -458,6 +458,12 @@ def main() -> None:
             # the vs-ceiling claim; the wall ceiling above stays as
             # evidence (its spread IS the storm record)
             "hardware_ceiling_user_efficiency": round(u_ceiling, 4),
+            # semantics tag: best-per-leg user/encode ratio + min-wall-rep
+            # stage CPU split.  Records WITHOUT this tag computed the
+            # user ceiling as a median of per-rep ratios (storm-inflatable
+            # - scaling_r5_manual_2231's 8->32 leg recorded 0.377 from two
+            # stormed reps) and must not feed the u/u agreement claim.
+            "user_ceiling_semantics": "best_per_leg_v2",
             "hardware_ceiling_user_reps": u_ceiling_reps,
             "hardware_ceiling_user_spread": round(
                 max(u_ceiling_reps) - min(u_ceiling_reps), 4
@@ -509,9 +515,19 @@ def summarize() -> None:
     # (scaling_r5_window2: 2.5e9 from a clamped divisor); apply the same
     # guard on read so the summary never surfaces them as numbers
     _net = {"hash_encode_net_efficiency", "net_efficiency"}
+    # vs-ceiling ratios: an engine cannot out-scale its own hardware
+    # ceiling by >20% - beyond that the ceiling leg was storm-degraded
+    # (scaling_r5_manual_2231: 1.81 from a median user ceiling whose reps
+    # read [0.97, 0.38, 0.34] around a 13.3 s storm canary)
+    _vs_ceiling = {"stage_efficiency_vs_ceiling",
+                   "stage_efficiency_vs_user_ceiling",
+                   "job_input_efficiency_vs_ceiling"}
 
     def _san(field: str, v):
         if field in _net and isinstance(v, (int, float)) and not (0 < v < 10):
+            return None
+        if field in _vs_ceiling and isinstance(v, (int, float)) and not (
+                0 < v <= 1.2):
             return None
         return v
 
@@ -547,11 +563,21 @@ def summarize() -> None:
         # agree across storm-varied records.
         su, uc = rec.get("stage_user_efficiency"), rec.get(
             "hardware_ceiling_user_efficiency")
-        row["stage_user_eff_vs_user_ceiling"] = (
+        ratio = (
             round(su / uc, 4)
             if isinstance(su, (int, float)) and isinstance(uc, (int, float))
-            and uc > 0 else None
+            and uc > 0
+            # only records with best-per-leg user-ceiling semantics: the
+            # older median-of-ratios ceiling is storm-inflatable and its
+            # u/u ratio can exceed 1 by construction artifact
+            and rec.get("user_ceiling_semantics") == "best_per_leg_v2"
+            else None
         )
+        # sanity: an engine cannot out-scale its own hardware ceiling by
+        # >20% - beyond that the ceiling leg was storm-degraded
+        if ratio is not None and not (0 < ratio <= 1.2):
+            ratio = None
+        row["stage_user_eff_vs_user_ceiling"] = ratio
         rec["stage_user_eff_vs_user_ceiling"] = row[
             "stage_user_eff_vs_user_ceiling"]
         out["records"].append(row)
@@ -566,9 +592,10 @@ def summarize() -> None:
         ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling", True),
     ]:
         vals = [
-            r[key] for _, r, clean in rows
+            _san(key, r[key]) for _, r, clean in rows
             if isinstance(r.get(key), (int, float)) and (clean or not want_clean)
         ]
+        vals = [v for v in vals if v is not None]
         if len(vals) >= 3:
             last3 = vals[-3:]
             out[label] = last3
