@@ -550,7 +550,16 @@ def summarize() -> None:
     for p, clean in paths:
         for rec in json.load(open(p)):
             if rec.get("pair", "").endswith("local[32]"):
-                rows.append((p.split("/")[-1], rec, clean))
+                # cleanliness is judged on THIS pair's own embedded
+                # canaries, not the file's promote status: the watcher
+                # demotes a capture when ANY pair stormed, but the 8->32
+                # pair it gates on carries its own three canaries
+                # (scaling_r5_storm_2246: 2->8 mid canary 8.8, 8->32
+                # canaries [0.6, 0.6, 0.5] - a clean pair in a demoted
+                # file)
+                cs = rec.get("host_canary_s") or []
+                pair_clean = bool(cs) and max(cs) < 8.0
+                rows.append((p.split("/")[-1], rec, clean or pair_clean))
     out: dict = {"records": []}
     for name, rec, clean in rows:
         row = {"file": name, "clean_window": clean,
