@@ -590,14 +590,17 @@ def summarize() -> None:
         rec["stage_user_eff_vs_user_ceiling"] = row[
             "stage_user_eff_vs_user_ceiling"]
         out["records"].append(row)
-    # agreement is gated on the storm-insensitive user-ceiling ratio when
-    # >=3 records carry it (clean AND storm records — see above); the
-    # wall-ceiling ratio uses clean windows only
+    # All agreement claims gate on clean pairs.  User-CPU metrics resist
+    # storms (no fault-service or deschedule time) but are not immune:
+    # stall inflation ticks user time, and a 61 s mid-pair storm moved
+    # u/u from 0.96 (clean pair) to 0.84 (scaling_r5_storm_2317) while
+    # walls collapsed to 0.47 — graceful degradation, still degradation.
+    # Storm-pair records stay listed as exactly that evidence.
     for key, label, want_clean in [
         ("stage_user_eff_vs_user_ceiling",
-         "last3_stage_user_eff_vs_user_ceiling", False),
+         "last3_stage_user_eff_vs_user_ceiling", True),
         ("stage_efficiency_vs_user_ceiling",
-         "last3_stage_eff_vs_user_ceiling", False),
+         "last3_stage_eff_vs_user_ceiling", True),
         ("stage_efficiency_vs_ceiling", "last3_stage_eff_vs_ceiling", True),
     ]:
         vals = [
