@@ -111,6 +111,16 @@ def build_spark(cpus: int):
         # through the single-threaded daemon — import + allocator warm
         # costs repaid per job instead of once per core
         .config("spark.python.worker.reuse", "true")
+        # v2 committer: task commits rename straight into the
+        # destination, job commit is O(1) instead of a serial
+        # driver-side rename per task file.  Symmetric for the A/B —
+        # our footer-manifest writes AND the reference ORC writes both
+        # go through FileOutputCommitter; also the standard large-
+        # cluster setting (cloud-native committers supersede it there).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .getOrCreate()
     )
 

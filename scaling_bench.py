@@ -223,6 +223,11 @@ def _session(cpus: int):
         # sampling: without it every job forks 32 fresh workers through
         # the single-threaded daemon, ~8 ms each, serialized)
         .config("spark.python.worker.reuse", "true")
+        # v2 committer (see bench.build_spark): O(1) job commit
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .getOrCreate()
     )
 

@@ -447,25 +447,44 @@ def _plan_units(
     (round-3 item: minutes of driver I/O at 10^6 files).  Unit ids are
     identical in both modes (fidx * UNIT_SPACE + unit-within-file), so
     resume works across planner modes."""
+    return _plan_units_counted(spark, files, per, distributed)[0]
+
+
+def _plan_units_rows(files: list[str], per: int) -> list[tuple]:
+    """Driver-side unit rows [(idx, path, rg_lo, rg_hi), ...] — parquet
+    footer metadata only (no data pages)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for fidx, path in enumerate(files):
+        md = pq.ParquetFile(path).metadata
+        rows.extend(
+            (idx, path, lo, hi)
+            for idx, lo, hi in _pack_units(
+                fidx, md.num_row_groups,
+                lambda g, _md=md: _md.row_group(g).num_rows, per,
+            )
+        )
+    return rows
+
+
+def _plan_units_counted(
+    spark: SparkSession, files: list[str], per: int,
+    distributed: bool | None = None,
+) -> tuple[DataFrame, int | None]:
+    """:func:`_plan_units` plus the unit count when the plan was built
+    driver-side (None in distributed mode).  The count lets
+    run_encode_units size its task fan-out WITHOUT a count() job — one
+    whole Spark job of pure fixed cost per encode run, ~0.4 s at bench
+    scale (18%% of a clean-window XL encode wall)."""
     if len(files) >= 1 << 26:
         raise ValueError(f"{len(files)} files exceeds the 2^26 unit id space")
     if distributed is None:
         distributed = len(files) > 64
     schema = "idx long, path string, rg_lo int, rg_hi int"
     if not distributed:
-        import pyarrow.parquet as pq
-
-        rows = []
-        for fidx, path in enumerate(files):
-            md = pq.ParquetFile(path).metadata
-            rows.extend(
-                (idx, path, lo, hi)
-                for idx, lo, hi in _pack_units(
-                    fidx, md.num_row_groups,
-                    lambda g, _md=md: _md.row_group(g).num_rows, per,
-                )
-            )
-        return spark.createDataFrame(rows, schema)
+        rows = _plan_units_rows(files, per)
+        return spark.createDataFrame(rows, schema), len(rows)
 
     files_df = spark.createDataFrame(list(enumerate(files)), "fidx long, path string")
     n_parts = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
@@ -497,7 +516,7 @@ def _plan_units(
                 names=["idx", "path", "rg_lo", "rg_hi"],
             )
 
-    return files_df.repartition(n_parts, "fidx").mapInArrow(plan, schema)
+    return files_df.repartition(n_parts, "fidx").mapInArrow(plan, schema), None
 
 
 def plan_units_from_manifest(
@@ -624,13 +643,31 @@ def run_encode_paths(
     if not files:
         raise ValueError(f"no parquet files under {input_dir}")
     per = max(target_rows_per_stripe, 1)
-    units_df = _plan_units(spark, files, per)
+    if len(files) > 64:
+        units_df, n_units = _plan_units_counted(spark, files, per)
+        balanced = False
+    else:
+        # driver-side plan: interleave the unit rows round-robin across
+        # the LocalRelation's contiguous slices (the files-sink decode
+        # trick) so the encode is a SINGLE STAGE — no count() job, no
+        # repartition exchange; units of one file spread across tasks
+        rows = _plan_units_rows(files, per)
+        n_parts = max(
+            1, min(spark.sparkContext.defaultParallelism, len(rows))
+        )
+        rr = [u for j in range(n_parts) for u in rows[j::n_parts]]
+        units_df = spark.createDataFrame(
+            rr, "idx long, path string, rg_lo int, rg_hi int"
+        )
+        n_units = len(rows)
+        balanced = True
     res = run_encode_units(
         spark, units_df, out_dir,
         codec=codec, target_rows_per_stripe=target_rows_per_stripe,
         sort_within=sort_within, bloom_columns=bloom_columns, fsst=fsst,
         row_index_stride=row_index_stride, fingerprint=fingerprint,
         resume=resume, n_partitions=n_partitions, columns=columns,
+        n_units=n_units, balanced=balanced,
     )
     res["n_files"] = len(files)
     return res
@@ -651,6 +688,8 @@ def run_encode_units(
     resume: bool = True,
     n_partitions: int | None = None,
     columns: list[str] | None = None,
+    n_units: int | None = None,
+    balanced: bool = False,
 ) -> dict:
     """Encode a pre-planned scan-unit DataFrame [idx long, path string,
     rg_lo int, rg_hi int] — the Iceberg slot-in point: an Iceberg scan
@@ -682,6 +721,7 @@ def run_encode_units(
                     units_df["idx"] == groups["__sparc_done_group"],
                     "left_anti",
                 )
+                n_units = None  # anti-join changed the todo count
     sink_dir = out_dir
 
     def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -765,22 +805,40 @@ def run_encode_units(
                     if out is not None:
                         yield out
 
-    # one count() over the (tiny, one-row-per-unit) plan; also sizes the
-    # task fan-out.  The unit plan itself never lands on the driver.
-    n_units_todo = units_df.count()
-    # 2x cores: enough task granularity to hide stragglers behind the
-    # round-robin balance, without doubling the per-Python-task fixed
-    # cost again (measured ~0.2 core-s/task JVM+protocol even after the
-    # worker tuning; 4x cores was ~6 extra core-s per job at 32 lanes)
-    parts = n_partitions or max(
-        1, min(n_units_todo, spark.sparkContext.defaultParallelism * 2)
-    )
-    # round-robin, NOT hash-on-idx: stripe ids derive from the unit index
-    # (not the partition), so co-location is irrelevant — and hashing ~N
-    # units into N partitions idles ~1/e of the cores while stragglers
-    # carry 2-3 units (the same balls-in-bins fix as the files-sink
-    # decode)
-    paths_df = units_df.repartition(parts)
+    # task fan-out sizing needs the todo-unit count; a caller-supplied
+    # n_units (driver-side planning knows it for free) skips the count()
+    # job — one whole Spark job of pure fixed cost per encode run,
+    # measured ~0.4 s at bench scale.  The unit plan itself never lands
+    # on the driver either way.
+    n_units_todo = units_df.count() if n_units is None else n_units
+    if balanced and not (
+        n_partitions
+        and n_partitions != spark.sparkContext.defaultParallelism
+    ):
+        # caller guarantees the unit rows are interleaved so that the
+        # LocalRelation's contiguous slices balance (run_encode_paths
+        # does this for driver-side plans, same trick as the files-sink
+        # decode): single stage, NO exchange, no extra job — each task
+        # carries ~n_units/cores uniform units, which balances BETTER
+        # than 2x-cores round-robin when units don't divide evenly
+        # (90 units / 64 tasks: stragglers carry 2x the mean; / 32
+        # tasks: 3 vs mean 2.8)
+        paths_df = units_df
+    else:
+        # 2x cores: enough task granularity to hide stragglers behind
+        # the round-robin balance, without doubling the per-Python-task
+        # fixed cost again (measured ~0.2 core-s/task JVM+protocol even
+        # after the worker tuning; 4x cores was ~6 extra core-s per job
+        # at 32 lanes)
+        parts = n_partitions or max(
+            1, min(n_units_todo, spark.sparkContext.defaultParallelism * 2)
+        )
+        # round-robin, NOT hash-on-idx: stripe ids derive from the unit
+        # index (not the partition), so co-location is irrelevant — and
+        # hashing ~N units into N partitions idles ~1/e of the cores
+        # while stragglers carry 2-3 units (the same balls-in-bins fix
+        # as the files-sink decode)
+        paths_df = units_df.repartition(parts)
     (
         paths_df.mapInArrow(encode_files, schema=STREAMS_SCHEMA)
         .write.mode("append")
