@@ -335,6 +335,30 @@ def test_pyscan_row_group_units(spark, tmp_path):
     assert decode_job.run_decode(spark, out).count() == N_ROWS
 
 
+def test_pyscan_encode_is_single_stage(spark, pages_path, tmp_path):
+    """A driver-planned pyscan encode must run as ONE Spark job with ONE
+    stage: no count() job over the unit plan, no repartition exchange —
+    the per-run fixed cost that multiplies at 1000-executor scale
+    (round-5: removing both cut the 3 GiB XL wall ~40%% same-window).
+    Balance comes from round-robin-interleaved unit rows in the
+    LocalRelation's contiguous slices (the files-sink decode trick)."""
+    st = spark.sparkContext.statusTracker()
+    out = str(tmp_path / "streams")
+    before = set(st.getJobIdsForGroup(None) or [])
+    encode_job.run_encode_paths(
+        spark, pages_path, out,
+        target_rows_per_stripe=1500, fingerprint="pages@42", resume=False,
+    )
+    new_jobs = sorted(set(st.getJobIdsForGroup(None) or []) - before)
+    assert len(new_jobs) == 1, f"expected 1 job, ran {len(new_jobs)}"
+    info = st.getJobInfo(new_jobs[0])
+    stages = [s for s in (st.getStageInfo(i) for i in info.stageIds) if s]
+    assert len(stages) == 1, f"expected 1 stage, got {len(stages)}"
+    # and the single stage actually fanned out across cores
+    assert stages[0].numTasks > 1
+    assert decode_job.run_decode(spark, out).count() == N_ROWS
+
+
 def test_resume_never_collects_done_ids_at_1e6_stripes(spark, pages_path, tmp_path, monkeypatch):
     """Round-3 item #4: resume must be plan-side on EVERY path.  A
     synthetic manifest with 10^6 committed footers (spread over 10^6
