@@ -47,6 +47,34 @@ def test_missing_cpu_keys_fall_back_to_canaries_only():
     assert not bench._record_is_clean({})
 
 
+def test_xxl_decode_field_gated_on_its_own_legs():
+    """The 9x decode A/B (round-5 addition) must ride the same per-field
+    gate: its ratio enters the medians iff BOTH its legs are clean, and
+    a storm on either side excludes it regardless of whom it flatters."""
+    clean = {
+        "decode_nd_xxl_sys_core_s_per_gib": 8.0,
+        "ref_read_xxl_sys_core_s_per_gib": 1.0,
+        "decode_neardata_gbps_xxl": 6.0,
+        "ref_decode_gbps_xxl": 9.0,
+        "decode_vs_reference_wall_xxl": 1.5,
+    }
+    bests = {"decode_nd_xxl": 6.0, "ref_read_xxl": 9.0}
+    assert bench._field_is_clean(
+        clean, "decode_vs_reference_wall_xxl", False, bests
+    )
+    stormy_ours = dict(clean, decode_nd_xxl_sys_core_s_per_gib=55.0)
+    assert not bench._field_is_clean(
+        stormy_ours, "decode_vs_reference_wall_xxl", True, bests
+    )
+    # degraded reference leg (sys-invisible): rate-sanity excludes the
+    # flattering ratio
+    slow_ref = dict(clean, ref_decode_gbps_xxl=3.0,
+                    decode_vs_reference_wall_xxl=0.5)
+    assert not bench._field_is_clean(
+        slow_ref, "decode_vs_reference_wall_xxl", True, bests
+    )
+
+
 # ---- per-field surgical gate (_field_is_clean) -----------------------------
 
 
