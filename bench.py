@@ -29,6 +29,12 @@ from collections.abc import Iterator
 # heap is immune), inflating identical warm encodes 3.3 s -> 30 s.
 os.environ.setdefault("SPARC_WARM_HEAP_BYTES", str(256 << 20))
 
+# Bumped when an ENGINE change alters what the A/B ratios measure, so
+# window medians never average two different engines (advisor r4: don't
+# silently mix protocols under one key).  Gen 1 = round-5 single-stage
+# pyscan encode (no count() job, no plan exchange, v2 committer).
+ENGINE_GENERATION = 1
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("SPARC_BENCH_CACHE", "/tmp/sparc_bench")
@@ -549,15 +555,30 @@ def window_medians(current: dict, bench_dir: str = "BENCH") -> dict:
         except Exception:
             continue
     recs.append(current)
-    flags = [_record_is_clean(r) for r in recs]
+    # Engine-generation fence (the advisor's protocol-mixing point,
+    # applied to ENGINE changes): a record's ratios measure the engine
+    # code that produced it, so medians only aggregate records of the
+    # CURRENT generation — mixing the round's pre- and post-change
+    # windows would average two different engines under one headline.
+    # Rate-sanity capability baselines still draw on every record (a
+    # leg's best rate is a host capability bound, monotone under
+    # engine improvements; reference legs are generation-independent).
+    gen_recs = [
+        r for r in recs
+        if r.get("engine_generation", 0) == ENGINE_GENERATION
+    ]
+    flags = [_record_is_clean(r) for r in gen_recs]
     out: dict = {
-        "windows_considered": len(recs),
+        "windows_considered": len(gen_recs),
+        "windows_all_generations": len(recs),
+        "engine_generation": ENGINE_GENERATION,
         "windows_clean": sum(flags),
         "window_clean_canary_s": _CLEAN_CANARY_S,
         "window_clean_sys_core_s": _CLEAN_SYS_CORE_S,
         "field_leg_sys_ceilings": _LEG_SYS_CEIL,
     }
     bests = _leg_bests(recs, _prior_round_recs(bench_dir))
+    recs = gen_recs
     for field in _WINDOW_FIELDS:
         vals = [
             r[field]
@@ -1212,6 +1233,7 @@ def main() -> None:
                 # protocol unambiguously — automated cross-round
                 # consumers should key on those.
                 "ratio_protocol": 2,
+                "engine_generation": ENGINE_GENERATION,
                 # headline = the better of the two shuffle-free strategies
                 # ("input": JVM scan feeds workers via Arrow; "pyscan":
                 # workers read row-group units directly, JVM schedules

@@ -47,6 +47,34 @@ def test_missing_cpu_keys_fall_back_to_canaries_only():
     assert not bench._record_is_clean({})
 
 
+def test_window_medians_fence_by_engine_generation(tmp_path):
+    """Medians must not average records measured on different engine
+    code: only records whose engine_generation matches the current
+    constant aggregate (old records default to generation 0)."""
+    import json as _json
+
+    bdir = tmp_path / "BENCH"
+    bdir.mkdir()
+    old = {  # pre-change engine: would drag the median to 2.0
+        "host_canary_s": [0.5],
+        "pyscan_vs_reference_wall_xl": 2.0,
+    }
+    new = dict(old, pyscan_vs_reference_wall_xl=1.2,
+               engine_generation=bench.ENGINE_GENERATION)
+    (bdir / "bench_r5_window1.json").write_text(_json.dumps(old))
+    (bdir / "bench_r5_window2.json").write_text(_json.dumps(new))
+    cur = dict(old, pyscan_vs_reference_wall_xl=1.3,
+               engine_generation=bench.ENGINE_GENERATION)
+    import os as _os
+    here = _os.path.dirname(_os.path.abspath(bench.__file__))
+    rel = _os.path.relpath(str(bdir), here)
+    out = bench.window_medians(cur, bench_dir=rel)
+    assert out["windows_considered"] == 2
+    assert out["windows_all_generations"] == 3
+    assert out["pyscan_vs_reference_wall_xl_median"] == 1.25
+    assert out["pyscan_vs_reference_wall_xl_windows"] == 2
+
+
 def test_xxl_decode_field_gated_on_its_own_legs():
     """The 9x decode A/B (round-5 addition) must ride the same per-field
     gate: its ratio enters the medians iff BOTH its legs are clean, and
